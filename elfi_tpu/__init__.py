@@ -1,0 +1,34 @@
+"""elfi_tpu — a TPU-native engine for likelihood-free inference.
+
+A from-scratch re-design of the capabilities of ELFI (elfi-dev/elfi): the
+user declares a generative model as a DAG of priors, simulators, summaries
+and distances, and runs likelihood-free inference against it.  Unlike the
+reference — which interprets a networkx graph per batch on the host and
+farms pickled graphs to process/cluster workers — this engine traces the
+declared DAG once into jitted, vmapped JAX/XLA programs with counter-based
+per-batch RNG, keeps the inference hot loops (simulation megabatches,
+top-N selection, GP surrogates, MCMC chains, SMC populations) on device,
+and shards the batch axis across a TPU mesh over ICI.
+
+Flat namespace parity with the reference (``elfi/__init__.py:9-29``).
+"""
+
+from .model import (AdaptiveDistance, ComputationContext, Constant,  # noqa: F401
+                    Discrepancy, Distance, Model, ModelPrior, NodeReference,
+                    Operation, Prior, RandomVariable, Simulator, Summary,
+                    get_default_model, new_model, set_default_model)
+from .model.model import load_model  # noqa: F401
+from .ops.distributions import Distribution  # noqa: F401
+from .parallel import (BatchHandler, MultiprocessingBackend,  # noqa: F401
+                       NativeBackend, ShardedBackend, get_client,
+                       reset_client, set_client)
+from .methods import (SMC, AdaptiveDistanceSMC, AdaptiveThresholdSMC,  # noqa: F401
+                      ModelBased, OptimizationResult, ParameterInference,
+                      Rejection, Sample, SmcSample)
+from .store import ArrayPool, OutputPool  # noqa: F401
+from .visualization import draw, nx_draw  # noqa: F401
+
+# Reference API alias: elfi.ElfiModel == elfi_tpu.Model
+ElfiModel = Model
+
+__version__ = "0.1.0"

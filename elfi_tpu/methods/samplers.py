@@ -1,0 +1,553 @@
+"""Sampling-based ABC inference: Rejection, SMC, AdaptiveDistanceSMC,
+AdaptiveThresholdSMC (reference ``elfi/methods/inference/samplers.py``).
+
+TPU-native design points vs the reference:
+
+- The running top-N sample buffer lives ON DEVICE and is maintained with a
+  jitted ``lax.top_k`` merge (:mod:`elfi_tpu.ops.topk`) instead of host-side
+  ``np.argsort`` per batch (reference ``samplers.py:209-237``).
+- When nothing host-side is needed (no pool, no adaptive distance),
+  ``Rejection.sample`` runs a FUSED path: the whole
+  simulate->distance->merge loop is a single jitted ``lax.scan`` over batch
+  indices, so a million-simulation inference is one XLA dispatch per chunk.
+  Both paths use identical per-batch keys and merge ops, so they produce
+  identical samples for a given seed.
+"""
+
+from __future__ import annotations
+
+from math import ceil
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..compile.compiler import compile_program
+from ..model.extensions import ModelPrior
+from ..model.model import AdaptiveDistance
+from ..ops import topk
+from ..parallel.backends import NativeBackend
+from ..utils import get_sub_seed
+from .base import Sampler, _ProgressBar
+from .results import Sample, SmcSample
+from .utils import (GMDistribution, arr2d_to_batch, weighted_sample_quantile,
+                    weighted_var)
+
+__all__ = ["Rejection", "SMC", "AdaptiveDistanceSMC", "AdaptiveThresholdSMC"]
+
+_FUSED_CHUNK = 64  # scan length per fused dispatch (compile-time constant)
+
+
+class Rejection(Sampler):
+    """Parallel ABC rejection sampler (reference ``samplers.py:57-317``)."""
+
+    def __init__(self, model, discrepancy_name=None, output_names=None,
+                 **kwargs):
+        model, discrepancy_name = self._resolve_model(model, discrepancy_name)
+        output_names = [discrepancy_name] + model.parameter_names \
+            + (output_names or [])
+        self.adaptive = isinstance(model[discrepancy_name], AdaptiveDistance)
+        if self.adaptive:
+            model[discrepancy_name].init_adaptation_round()
+            self.sums = [s.name for s in model[discrepancy_name].parents]
+            for k in self.sums:
+                if k not in output_names:
+                    output_names.append(k)
+        super().__init__(model, output_names, **kwargs)
+        self.discrepancy_name = discrepancy_name
+        self._merge = topk.make_merge_fn(discrepancy_name)
+
+    # -- objective ---------------------------------------------------------
+    def set_objective(self, n_samples, threshold=None, quantile=None,
+                      n_sim=None):
+        if quantile is None and threshold is None and n_sim is None:
+            quantile = .01
+        self.state = dict(samples=None, threshold=np.inf, n_sim=0,
+                          accept_rate=1, n_batches=0, n_accepted=0)
+        if quantile:
+            n_sim = ceil(n_samples / quantile)
+        if n_sim:
+            n_batches = ceil(n_sim / self.batch_size)
+        else:
+            n_batches = self.max_parallel_batches
+        self.objective = dict(n_samples=n_samples, threshold=threshold,
+                              n_batches=n_batches)
+        self.batches.reset()
+
+    # -- batch-at-a-time path ------------------------------------------------
+    def update(self, batch, batch_index):
+        super().update(batch, batch_index)
+        if self.state["samples"] is None:
+            self.state["samples"] = topk.init_buffers(
+                self.objective["n_samples"], batch, self.discrepancy_name)
+        if self.adaptive:
+            self.model[self.discrepancy_name].add_data(
+                *(np.asarray(batch[s]) for s in self.sums))
+        thr = self._merge_threshold()
+        self.state["samples"], acc = self._merge(self.state["samples"],
+                                                 dict(batch), thr)
+        if self.objective.get("threshold") is not None:
+            self.state["n_accepted"] += int(acc)
+            self._update_objective_n_batches()
+        else:
+            self.state["n_accepted"] += self.batch_size
+
+    def _merge_threshold(self):
+        t = self.objective.get("threshold")
+        if t is None:
+            return jnp.float32(jnp.inf)
+        return jnp.asarray(t, jnp.float32)
+
+    def _update_objective_n_batches(self):
+        """Dynamic re-estimation of needed batches under a fixed threshold
+        (reference ``samplers.py:246-277``)."""
+        s = self.state
+        n_samples = self.objective["n_samples"]
+        n_acceptable = s["n_accepted"]
+        if n_acceptable == 0:
+            n_batches = self.objective["n_batches"] + 1
+        else:
+            accept_rate_t = n_acceptable / s["n_sim"]
+            margin = .2 * self.batch_size * int(n_acceptable < n_samples)
+            n_batches = ceil((n_samples / accept_rate_t + margin)
+                             / self.batch_size)
+        self.objective["n_batches"] = max(n_batches, s["n_batches"])
+
+    # -- result ------------------------------------------------------------------
+    def extract_result(self):
+        if self.state["samples"] is None:
+            raise ValueError("Nothing to extract")
+        if self.adaptive:
+            self._update_distances()
+        outputs = {k: np.asarray(v)
+                   for k, v in self.state["samples"].items() if k != "__key"}
+        self._update_state_meta(outputs)
+        return Sample(outputs=outputs, **self._extract_result_kwargs())
+
+    def _update_state_meta(self, outputs):
+        n = self.objective["n_samples"]
+        d = np.asarray(outputs[self.discrepancy_name])
+        self.state["threshold"] = d[n - 1]
+        self.state["accept_rate"] = min(1, n / max(self.state["n_sim"], 1))
+
+    def _update_distances(self):
+        """Adaptive distance: freeze the new scale, recompute and re-sort the
+        kept sample under it (reference ``samplers.py:279-299``)."""
+        node = self.model[self.discrepancy_name]
+        node.update_distance()
+        nums = self.objective["n_samples"]
+        samples = {k: np.asarray(v) for k, v in self.state["samples"].items()}
+        data = {s: samples[s][:nums] for s in self.sums}
+        prog = compile_program(self.model, (self.discrepancy_name,),
+                               override_names=tuple(sorted(data)))
+        ds = np.asarray(prog.run(jax.random.key(self.seed), 0, data,
+                                 batch_size=nums)[self.discrepancy_name])
+        sort_distance = ds if ds.ndim == 1 else ds[:, -1]
+        order = np.argsort(sort_distance)
+        new = {}
+        for k, v in samples.items():
+            if k == self.discrepancy_name:
+                new[k] = sort_distance[order]
+            elif k == "__key":
+                new[k] = sort_distance[order]
+            else:
+                new[k] = v[order]
+        self.state["samples"] = new
+
+    # -- fused path -----------------------------------------------------------------
+    def sample(self, n_samples, threshold=None, quantile=None, n_sim=None,
+               fused=None, bar=True, **kwargs):
+        """Sample from the approximate posterior.
+
+        ``fused=True`` (default when eligible) runs the entire rejection
+        loop as jitted ``lax.scan`` chunks on device.
+        """
+        self.bar = bar
+        eligible = (self.pool is None and not self.adaptive
+                    and isinstance(self.client, NativeBackend)
+                    and not kwargs)
+        if fused is None:
+            fused = eligible
+        if fused and not eligible:
+            raise ValueError("fused=True requires: no pool, no adaptive "
+                             "distance, native backend")
+        self.set_objective(n_samples, threshold=threshold, quantile=quantile,
+                           n_sim=n_sim)
+        prog = compile_program(self.model, tuple(self.output_names))
+        if fused and prog.host:
+            fused = False
+        if not fused:
+            return self.infer(n_samples, threshold=threshold,
+                              quantile=quantile, n_sim=n_sim, bar=bar,
+                              **kwargs)
+        self._run_fused(prog, threshold)
+        self.batches.reset()
+        return self.extract_result()
+
+    def _run_fused(self, prog, threshold):
+        fn = prog.traceable(self.batch_size)
+        disc = self.discrepancy_name
+        n = self.objective["n_samples"]
+        master = jax.random.key(self.seed)
+        thr_given = threshold is not None
+        thr0 = np.asarray(threshold, np.float32) if thr_given \
+            else np.float32(np.inf)
+
+        shapes = jax.eval_shape(fn, master, jnp.uint32(0), {})
+        buffers = {k: (jnp.full((n,) + v.shape[1:], jnp.inf, jnp.float32)
+                       if k == disc else
+                       jnp.zeros((n,) + v.shape[1:], v.dtype))
+                   for k, v in shapes.items()}
+        buffers["__key"] = jnp.full((n,), jnp.inf, jnp.float32)
+
+        chunk_cache = {}
+
+        def chunk_fn(length):
+            if length not in chunk_cache:
+                def body(master_key, start, bufs, thr):
+                    def step(b, i):
+                        out = fn(master_key, i, {})
+                        return topk.merge_core(b, out, thr, disc)
+                    idx = start + jnp.arange(length, dtype=jnp.uint32)
+                    bufs, accs = jax.lax.scan(step, bufs, idx)
+                    return bufs, jnp.sum(accs)
+                chunk_cache[length] = jax.jit(body)
+            return chunk_cache[length]
+
+        pb = _ProgressBar() if self.bar else None
+        if not thr_given:
+            n_batches = self.objective["n_batches"]
+            done = 0
+            while done < n_batches:
+                length = min(_FUSED_CHUNK, n_batches - done)
+                buffers, acc = chunk_fn(length)(
+                    master, jnp.uint32(done), buffers, jnp.asarray(thr0))
+                done += length
+                if pb:
+                    pb.update(done, n_batches)
+            self.state["n_accepted"] = done * self.batch_size
+        else:
+            done, accepted = 0, 0
+            max_batches = 100_000
+            while accepted < n and done < max_batches:
+                length = _FUSED_CHUNK if done else min(
+                    _FUSED_CHUNK, self.objective["n_batches"])
+                buffers, acc = chunk_fn(length)(
+                    master, jnp.uint32(done), buffers, jnp.asarray(thr0))
+                done += length
+                accepted += int(acc)
+                if pb:
+                    pb.update(min(accepted, n), n)
+            self.state["n_accepted"] = accepted
+        if pb:
+            pb.finish()
+        self.state["n_batches"] = done
+        self.state["n_sim"] = done * self.batch_size
+        self.state["samples"] = buffers
+        self.objective["n_batches"] = done
+
+    def plot_state(self, **options):
+        from ..visualization import plot_sample
+        samples = {k: np.asarray(v) for k, v in self.state["samples"].items()}
+        plot_sample(samples, nodes=self.parameter_names,
+                    n=self.objective["n_samples"], **options)
+
+
+class SMC(Sampler):
+    """Sequential Monte Carlo ABC (reference ``samplers.py:320-559``)."""
+
+    def __init__(self, model, discrepancy_name=None, output_names=None,
+                 **kwargs):
+        model, discrepancy_name = self._resolve_model(model, discrepancy_name)
+        output_names = [discrepancy_name] + model.parameter_names \
+            + (output_names or [])
+        super().__init__(model, output_names, **kwargs)
+        self._prior = ModelPrior(self.model)
+        self.discrepancy_name = discrepancy_name
+        self.state["round"] = 0
+        self._populations = []
+        self._rejection = None
+        self._round_key = None
+        self._quantiles = None
+
+    def set_objective(self, n_samples, thresholds=None, quantiles=None):
+        if thresholds is None and quantiles is None:
+            raise ValueError("Either thresholds or quantiles is required")
+        rounds = (len(quantiles) if thresholds is None else len(thresholds)) - 1
+        self.state["round"] = len(self._populations)
+        rounds += self.state["round"]
+        if thresholds is None:
+            thresholds = np.full((rounds + 1), None)
+            self._quantiles = np.concatenate(
+                (np.full((self.state["round"]), None), quantiles))
+        else:
+            thresholds = np.concatenate(
+                (np.full((self.state["round"]), None), thresholds))
+        self.objective.update(dict(n_samples=n_samples,
+                                   n_batches=self.max_parallel_batches,
+                                   round=rounds, thresholds=thresholds))
+        self._init_new_round()
+        self._update_objective()
+
+    def extract_result(self):
+        pop = self._extract_population()
+        self._populations.append(pop)
+        return SmcSample(outputs=pop.outputs,
+                         populations=self._populations.copy(),
+                         weights=pop.weights, threshold=pop.meta["threshold"],
+                         **self._extract_result_kwargs())
+
+    def update(self, batch, batch_index):
+        super().update(batch, batch_index)
+        self._rejection.update(batch, batch_index)
+        if self._rejection.finished:
+            self.batches.cancel_pending()
+            if self.state["round"] < self.objective["round"]:
+                self._populations.append(self._extract_population())
+                self.state["round"] += 1
+                self._init_new_round()
+        self._update_objective()
+
+    def prepare_new_batch(self, batch_index):
+        if self.state["round"] == 0:
+            return None
+        key = jax.random.fold_in(self._round_key, batch_index)
+        params = GMDistribution.rvs(*self._gm_params, size=self.batch_size,
+                                    prior_logpdf=self._prior.logpdf, key=key)
+        return arr2d_to_batch(np.asarray(params), self.parameter_names)
+
+    def _init_new_round(self):
+        self._set_rejection_round(self.state["round"])
+        if self.state["round"] == 0 and self._quantiles is not None:
+            self._rejection.set_objective(self.objective["n_samples"],
+                                          quantile=self._quantiles[0])
+        else:
+            if self._quantiles is not None:
+                self._set_threshold()
+            self._rejection.set_objective(
+                self.objective["n_samples"],
+                threshold=self.current_population_threshold)
+
+    def _set_rejection_round(self, round):
+        seed = self.seed if round == 0 else get_sub_seed(self.seed, round)
+        self._round_key = jax.random.fold_in(jax.random.key(seed), 0x9E3779B9)
+        # The SMC instance owns the BatchHandler and keeps submitting with a
+        # GLOBALLY increasing batch index (so simulator noise is fresh every
+        # round); the per-round Rejection only consumes the batches and its
+        # seed only scopes the round bookkeeping (reference
+        # ``samplers.py:474-487``).
+        self._rejection = Rejection(
+            self.model, discrepancy_name=self.discrepancy_name,
+            output_names=self.output_names, batch_size=self.batch_size,
+            seed=seed, max_parallel_batches=self.max_parallel_batches)
+
+    def _extract_population(self):
+        sample = self._rejection.extract_result()
+        sample.method_name = "Rejection within SMC-ABC"
+        means, w, cov = self._compute_weights_means_and_cov(sample)
+        sample.means = means
+        sample.weights = w
+        sample.meta["cov"] = cov
+        return sample
+
+    def _compute_weights_means_and_cov(self, pop):
+        params = np.column_stack([pop.outputs[p]
+                                  for p in self.parameter_names])
+        if self._populations:
+            q_logpdf = np.asarray(GMDistribution.logpdf(params,
+                                                        *self._gm_params))
+            p_logpdf = np.asarray(self._prior.logpdf(params))
+            w = np.exp(p_logpdf - q_logpdf)
+        else:
+            w = np.ones(pop.n_samples)
+        if np.count_nonzero(w) == 0:
+            raise RuntimeError(
+                "All sample weights are zero. If you are using a prior with "
+                "bounded support this may be caused by a too small sample "
+                "size.")
+        cov = 2 * np.diag(weighted_var(params, w))
+        if not np.all(np.isfinite(cov)):
+            cov = np.diag(np.ones(params.shape[1]))
+        return params.copy(), w, cov
+
+    def _update_objective(self):
+        n_batches = sum(pop.meta["n_batches"] for pop in self._populations)
+        self.objective["n_batches"] = n_batches + \
+            self._rejection.objective["n_batches"]
+
+    def _set_threshold(self):
+        prev = self._populations[self.state["round"] - 1]
+        threshold = weighted_sample_quantile(
+            x=prev.discrepancies, alpha=self._quantiles[self.state["round"]],
+            weights=prev.weights)
+        self.objective["thresholds"][self.state["round"]] = threshold
+
+    @property
+    def _gm_params(self):
+        sample = self._populations[-1]
+        return sample.means, sample.meta["cov"], sample.weights
+
+    @property
+    def current_population_threshold(self):
+        return self.objective["thresholds"][self.state["round"]]
+
+    def _extract_result_kwargs(self):
+        kwargs = super()._extract_result_kwargs()
+        kwargs.pop("threshold", None)
+        return kwargs
+
+
+class AdaptiveDistanceSMC(SMC):
+    """SMC-ABC with adaptive distance (Prangle 2017 Algorithm 5; reference
+    ``samplers.py:562-659``)."""
+
+    def __init__(self, model, discrepancy_name=None, output_names=None,
+                 **kwargs):
+        model, discrepancy_name = self._resolve_model(model, discrepancy_name)
+        if not isinstance(model[discrepancy_name], AdaptiveDistance):
+            raise TypeError("This method requires an adaptive distance node")
+        model[discrepancy_name].init_state()
+        sums = [s.name for s in model[discrepancy_name].parents]
+        if output_names is None:
+            output_names = sums
+        else:
+            output_names = output_names + [k for k in sums
+                                           if k not in output_names]
+        super().__init__(model, discrepancy_name, output_names=output_names,
+                         **kwargs)
+
+    def set_objective(self, n_samples, rounds, quantile=0.5):
+        super().set_objective(ceil(n_samples / quantile),
+                              quantiles=[1] * rounds)
+        self.population_size = n_samples
+        self.quantile = quantile
+
+    def _extract_population(self):
+        rejection_sample = self._rejection.extract_result()
+        outputs = {k: rejection_sample.outputs[k][:self.population_size]
+                   for k in self.output_names}
+        meta = dict(rejection_sample.meta)
+        node = self.model[self.discrepancy_name]
+        meta["adaptive_distance_w"] = node.adaptive_state["w"][-1]
+        d = outputs[self.discrepancy_name]
+        meta["threshold"] = float(np.max(d if d.ndim == 1 else d[:, -1]))
+        meta["accept_rate"] = self.population_size / meta["n_sim"]
+        sample = Sample("Rejection within adaptive distance SMC-ABC",
+                        outputs, self.parameter_names,
+                        discrepancy_name=self.discrepancy_name, **meta)
+        means, w, cov = self._compute_weights_means_and_cov(sample)
+        sample.means = means
+        sample.weights = w
+        sample.meta["cov"] = cov
+        return sample
+
+    def _extract_result_kwargs(self):
+        kwargs = super()._extract_result_kwargs()
+        kwargs["adaptive_distance_w"] = [pop.meta["adaptive_distance_w"]
+                                         for pop in self._populations]
+        return kwargs
+
+    def _set_threshold(self):
+        round = self.state["round"]
+        self.objective["thresholds"][round] = \
+            self._populations[round - 1].meta["threshold"]
+
+    @property
+    def current_population_threshold(self):
+        """Vector threshold: one bound per accumulated distance function."""
+        return np.asarray(
+            [np.inf] + [pop.meta["threshold"] for pop in self._populations],
+            dtype=np.float32)
+
+
+class AdaptiveThresholdSMC(SMC):
+    """ABC-SMC with adaptive threshold selection via density-ratio
+    estimation (Simola et al. 2021; reference ``samplers.py:662-841``)."""
+
+    def __init__(self, model, discrepancy_name=None, output_names=None,
+                 initial_quantile=0.20, q_threshold=0.99,
+                 densratio_estimation=None, **kwargs):
+        super().__init__(model, discrepancy_name,
+                         output_names=output_names, **kwargs)
+        self.q_threshold = q_threshold
+        self.initial_quantile = initial_quantile
+        from .density_ratio_estimation import DensityRatioEstimation
+        self.densratio = densratio_estimation or DensityRatioEstimation(
+            n=100, epsilon=0.001, max_iter=200, abs_tol=0.01, fold=5,
+            optimize=False)
+
+    def set_objective(self, n_samples, max_iter=10):
+        rounds = max_iter - 1
+        self.state["round"] = len(self._populations)
+        rounds += self.state["round"]
+        thresholds = np.full((rounds + 1), None)
+        self._quantiles = np.full((rounds + 1), None)
+        self._quantiles[0] = self.initial_quantile
+        self.objective.update(dict(n_samples=n_samples,
+                                   n_batches=self.max_parallel_batches,
+                                   round=rounds, thresholds=thresholds))
+        self._init_new_round()
+        self._update_objective()
+
+    def update(self, batch, batch_index):
+        Sampler.update(self, batch, batch_index)
+        self._rejection.update(batch, batch_index)
+        if self._rejection.finished:
+            self.batches.cancel_pending()
+            self._new_population = self._extract_population()
+            if self.state["round"] < self.objective["round"]:
+                self._set_adaptive_quantile()
+                if self._quantiles[self.state["round"] + 1] < self.q_threshold:
+                    self._populations.append(self._new_population)
+                    self.state["round"] += 1
+                    self._init_new_round()
+        self._update_objective()
+
+    def _init_new_round(self):
+        self._set_rejection_round(self.state["round"])
+        if self.state["round"] == 0:
+            self._rejection.set_objective(self.objective["n_samples"],
+                                          quantile=self._quantiles[0])
+        else:
+            self._set_threshold()
+            self._rejection.set_objective(
+                self.objective["n_samples"],
+                threshold=self.current_population_threshold)
+
+    def _set_adaptive_quantile(self):
+        """Next quantile = max(1/max-density-ratio, 0.05) (reference
+        ``samplers.py:791-813``)."""
+        from .density_ratio_estimation import calculate_densratio_basis_sigma
+        cur = self._resolve_sample(0)
+        prev = self._resolve_sample(-1)
+        if self.densratio.optimize:
+            sigma = list(10.0 ** np.arange(-1, 6))
+        else:
+            sigma = calculate_densratio_basis_sigma(cur["sigma_max"],
+                                                    prev["sigma_max"])
+        self.densratio.fit(x=cur["samples"], y=prev["samples"],
+                           weights_x=cur["weights"], weights_y=prev["weights"],
+                           sigma=sigma)
+        max_value = max(self.densratio.max_ratio(), 1.0)
+        self._quantiles[self.state["round"] + 1] = max(1 / max_value, 0.05)
+
+    def _resolve_sample(self, backwards_index):
+        if self.state["round"] + backwards_index < 0:
+            return self._densityratio_initial_sample()
+        sample = self._new_population if backwards_index == 0 \
+            else self._populations[backwards_index]
+        weights = sample.weights
+        samples = sample.samples_array
+        sigma_max = float(np.min(np.sqrt(np.diag(sample.meta["cov"]))))
+        return dict(samples=samples, weights=weights, sigma_max=sigma_max)
+
+    def _densityratio_initial_sample(self):
+        n_samples = self._new_population.weights.shape[0]
+        samples = self._prior.rvs(size=n_samples,
+                                  key=self._round_key)
+        weights = np.ones(n_samples)
+        cov = np.atleast_2d(np.cov(samples.reshape(n_samples, -1),
+                                   rowvar=False))
+        return dict(samples=samples, weights=weights,
+                    sigma_max=float(np.min(np.sqrt(np.diag(cov)))))

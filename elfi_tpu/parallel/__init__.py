@@ -1,0 +1,3 @@
+from .backends import (MultiprocessingBackend, NativeBackend,  # noqa: F401
+                       ShardedBackend, get_client, reset_client, set_client)
+from .batches import BatchHandler  # noqa: F401

@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+import elfi_tpu as elfi
+
+
+def test_quantile_objective(ma2, with_all_clients):
+    rej = elfi.Rejection(ma2["d"], batch_size=40, seed=7)
+    res = rej.sample(20, quantile=0.1, fused=False, bar=False)
+    assert res.n_samples == 20
+    assert res.n_sim == 200
+    d = res.outputs["d"]
+    assert np.all(np.diff(d) >= 0)  # sorted ascending
+    assert res.threshold == d[-1]
+
+
+def test_nsim_objective(ma2):
+    rej = elfi.Rejection(ma2["d"], batch_size=40, seed=7)
+    res = rej.sample(20, n_sim=400, fused=False, bar=False)
+    assert res.n_sim == 400
+
+
+def test_threshold_objective(ma2):
+    rej = elfi.Rejection(ma2["d"], batch_size=100, seed=7)
+    res = rej.sample(10, threshold=0.5, fused=False, bar=False)
+    assert np.all(res.outputs["d"] <= 0.5)
+    assert res.n_samples == 10
+
+
+def test_fused_equals_unfused(ma2):
+    rej1 = elfi.Rejection(ma2["d"], batch_size=64, seed=13)
+    res1 = rej1.sample(16, n_sim=640, fused=True, bar=False)
+    rej2 = elfi.Rejection(ma2["d"], batch_size=64, seed=13)
+    res2 = rej2.sample(16, n_sim=640, fused=False, bar=False)
+    for k in res1.outputs:
+        np.testing.assert_array_equal(res1.outputs[k], res2.outputs[k])
+
+
+def test_seed_determinism(ma2):
+    r1 = elfi.Rejection(ma2["d"], batch_size=32, seed=5).sample(
+        8, n_sim=64, bar=False)
+    r2 = elfi.Rejection(ma2["d"], batch_size=32, seed=5).sample(
+        8, n_sim=64, bar=False)
+    r3 = elfi.Rejection(ma2["d"], batch_size=32, seed=6).sample(
+        8, n_sim=64, bar=False)
+    np.testing.assert_array_equal(r1.samples["t1"], r2.samples["t1"])
+    assert not np.allclose(r1.samples["t1"], r3.samples["t1"])
+
+
+def test_backends_agree(ma2, with_all_clients):
+    """Same seed must give bit-identical results on every backend
+    (the reference only guarantees this per-backend; we guarantee it
+    globally because all backends run the same XLA program)."""
+    if not isinstance(with_all_clients, elfi.NativeBackend):
+        rej = elfi.Rejection(ma2["d"], batch_size=40, seed=9)
+        res = rej.sample(10, n_sim=80, fused=False, bar=False)
+        elfi.set_client(elfi.NativeBackend())
+        rejn = elfi.Rejection(ma2["d"], batch_size=40, seed=9)
+        resn = rejn.sample(10, n_sim=80, fused=False, bar=False)
+        np.testing.assert_allclose(np.asarray(res.samples["t1"]),
+                                   np.asarray(resn.samples["t1"]),
+                                   rtol=1e-6)
+
+
+def test_output_names_extra(ma2):
+    rej = elfi.Rejection(ma2["d"], output_names=["S1"], batch_size=32,
+                         seed=5)
+    res = rej.sample(8, n_sim=64, bar=False)
+    assert "S1" in res.outputs
+    assert res.outputs["S1"].shape == (8,)
+
+
+def test_multivariate(multivariate_model):
+    rej = elfi.Rejection(multivariate_model["d"], batch_size=32, seed=5)
+    res = rej.sample(8, n_sim=64, bar=False)
+    assert res.samples["t1"].shape == (8, 2)

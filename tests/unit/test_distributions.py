@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+import scipy.stats as ss
+
+import jax
+
+from elfi_tpu.ops import distributions as d
+
+
+KEY = jax.random.key(7)
+
+
+@pytest.mark.parametrize("dist,params,ss_dist", [
+    (d.uniform, (1.0, 3.0), ss.uniform(1.0, 3.0)),
+    (d.norm, (2.0, 0.5), ss.norm(2.0, 0.5)),
+    (d.expon, (0.0, 2.0), ss.expon(0.0, 2.0)),
+    (d.gamma, (3.0, 0.0, 2.0), ss.gamma(3.0, 0.0, 2.0)),
+    (d.beta, (2.0, 5.0), ss.beta(2.0, 5.0)),
+    (d.lognorm, (0.5, 0.0, 1.0), ss.lognorm(0.5, 0.0, 1.0)),
+    (d.truncnorm, (-1.0, 2.0, 0.5, 1.5), ss.truncnorm(-1.0, 2.0, 0.5, 1.5)),
+])
+def test_logpdf_matches_scipy(dist, params, ss_dist):
+    x = np.asarray(ss_dist.rvs(size=50, random_state=np.random.RandomState(0)),
+                   np.float32)
+    ours = np.asarray(dist.logpdf(x, *params))
+    theirs = ss_dist.logpdf(x)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dist,params,ss_dist", [
+    (d.uniform, (1.0, 3.0), ss.uniform(1.0, 3.0)),
+    (d.norm, (2.0, 0.5), ss.norm(2.0, 0.5)),
+    (d.expon, (0.0, 2.0), ss.expon(0.0, 2.0)),
+    (d.gamma, (3.0, 0.0, 2.0), ss.gamma(3.0, 0.0, 2.0)),
+    (d.truncnorm, (-1.0, 2.0, 0.5, 1.5), ss.truncnorm(-1.0, 2.0, 0.5, 1.5)),
+])
+def test_rvs_moments(dist, params, ss_dist):
+    x = np.asarray(dist.rvs(*params, size=20000, key=KEY))
+    assert x.shape == (20000,)
+    np.testing.assert_allclose(x.mean(), ss_dist.mean(), atol=0.05)
+    np.testing.assert_allclose(x.std(), ss_dist.std(), rtol=0.1)
+
+
+def test_rvs_support():
+    x = np.asarray(d.uniform.rvs(1.0, 3.0, size=1000, key=KEY))
+    assert x.min() >= 1.0 and x.max() <= 4.0
+    x = np.asarray(d.truncnorm.rvs(-1.0, 2.0, 0.0, 1.0, size=1000, key=KEY))
+    assert x.min() >= -1.0 and x.max() <= 2.0
+
+
+def test_mvn():
+    mean = np.array([1.0, -1.0])
+    cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+    x = np.asarray(d.multivariate_normal.rvs(mean, cov, size=20000, key=KEY))
+    assert x.shape == (20000, 2)
+    np.testing.assert_allclose(x.mean(0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(x.T), cov, atol=0.1)
+    lp = np.asarray(d.multivariate_normal.logpdf(x[:10], mean, cov))
+    np.testing.assert_allclose(lp, ss.multivariate_normal(mean, cov)
+                               .logpdf(x[:10]), rtol=1e-4, atol=1e-4)
+
+
+def test_batched_params():
+    locs = np.linspace(0, 10, 100).astype(np.float32)
+    x = np.asarray(d.norm.rvs(locs, 1e-4, size=100, key=KEY))
+    np.testing.assert_allclose(x, locs, atol=1e-2)
+
+
+def test_gradient_logpdf():
+    g = np.asarray(d.norm.gradient_logpdf(np.float32(1.0), 0.0, 1.0))
+    np.testing.assert_allclose(g, -1.0, rtol=1e-5)
+
+
+def test_from_name():
+    assert d.from_name("uniform") is d.uniform
+    assert d.from_name("normal") is d.norm
+    with pytest.raises(ValueError):
+        d.from_name("nope")
+
+
+def test_custom_distribution_pdf_from_logpdf():
+    class MyDist(d.Distribution):
+        @classmethod
+        def logpdf(cls, x, a):
+            return -np.abs(x) * a
+
+    assert np.isclose(np.asarray(MyDist.pdf(0.0, 1.0)), 1.0)
