@@ -22,9 +22,10 @@ from .ops.distributions import Distribution  # noqa: F401
 from .parallel import (BatchHandler, MultiprocessingBackend,  # noqa: F401
                        NativeBackend, ShardedBackend, get_client,
                        reset_client, set_client)
-from .methods import (SMC, AdaptiveDistanceSMC, AdaptiveThresholdSMC,  # noqa: F401
-                      ModelBased, OptimizationResult, ParameterInference,
-                      Rejection, Sample, SmcSample)
+from .methods import (BOLFI, SMC, AdaptiveDistanceSMC,  # noqa: F401
+                      AdaptiveThresholdSMC, BayesianOptimization,
+                      GPRegression, ModelBased, OptimizationResult,
+                      ParameterInference, Rejection, Sample, SmcSample)
 from .store import ArrayPool, OutputPool  # noqa: F401
 from .visualization import draw, nx_draw  # noqa: F401
 

@@ -4,3 +4,9 @@ from .results import (BolfireSample, BolfiSample, BslSample,  # noqa: F401
                       RomcSample, Sample, SmcSample)
 from .samplers import (AdaptiveDistanceSMC, AdaptiveThresholdSMC,  # noqa: F401
                        Rejection, SMC)
+from .bolfi import BayesianOptimization, BOLFI  # noqa: F401
+from .posteriors import BolfiPosterior, BolfirePosterior  # noqa: F401
+from . import mcmc  # noqa: F401
+from .bo.gp import GPRegression  # noqa: F401
+from .bo.acquisition import (LCBSC, ExpIntVar, MaxVar,  # noqa: F401
+                             RandMaxVar, UniformAcquisition)

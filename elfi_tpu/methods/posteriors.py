@@ -1,0 +1,168 @@
+"""Approximate posterior containers (reference ``elfi/methods/posteriors.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import special
+from .bo.utils import minimize
+
+__all__ = ["BolfiPosterior", "BolfirePosterior", "RomcPosterior"]
+
+
+class BolfiPosterior:
+    r"""BOLFI approximate posterior: L(theta) ~ Phi((h - mu)/sigma) with GP
+    mean/std (Gutmann & Corander 2016; reference ``posteriors.py:21-256``).
+
+    ``logpdf``/``gradient_logpdf`` are host APIs over jitted device kernels;
+    ``traceable_logpdf`` returns the traced target for fully on-device NUTS.
+    """
+
+    def __init__(self, model, threshold=None, prior=None, n_inits=10,
+                 max_opt_iters=1000, seed=0):
+        self.model = model
+        self.prior = prior
+        self.dim = model.input_dim
+        self.random_state = np.random.RandomState(seed)
+        self.n_inits = n_inits
+        self.max_opt_iters = max_opt_iters
+        if threshold is None:
+            # threshold = optimized minimum of the GP mean (reference
+            # ``posteriors.py:64-78``)
+            minloc, minval = minimize(self.model.predict_mean,
+                                      self.model.bounds,
+                                      grad=self.model.predictive_gradient_mean,
+                                      prior=prior, n_start_points=n_inits,
+                                      maxiter=max_opt_iters,
+                                      random_state=self.random_state)
+            threshold = float(np.asarray(minval))
+        self.threshold = threshold
+        self._jit_cache = {}
+
+    # -- traceable target ------------------------------------------------------
+    def traceable_logpdf(self):
+        pred = self.model.device_predict(noiseless=False)
+        h = jnp.float32(self.threshold)
+        prior_logpdf = self.prior.traceable_logpdf() \
+            if self.prior is not None else None
+
+        def logpdf(theta):
+            mu, var = pred(theta[None])
+            loglik = special.norm_logcdf((h - mu[0]) / jnp.sqrt(var[0]))
+            lp = prior_logpdf(theta[None])[0] if prior_logpdf is not None \
+                else 0.0
+            return loglik + lp
+
+        return logpdf
+
+    def _batched(self, what):
+        if what not in self._jit_cache:
+            single = self.traceable_logpdf()
+            if what == "logpdf":
+                fn = jax.jit(jax.vmap(single))
+            else:
+                fn = jax.jit(jax.vmap(jax.grad(single)))
+            self._jit_cache[what] = fn
+        return self._jit_cache[what]
+
+    # -- host API ----------------------------------------------------------------
+    def logpdf(self, x):
+        x = np.asarray(x, np.float32)
+        single = x.ndim == 1
+        vals = np.asarray(self._batched("logpdf")(jnp.atleast_2d(x)))
+        return float(vals[0]) if single else vals
+
+    def pdf(self, x):
+        return np.exp(self.logpdf(x))
+
+    def gradient_logpdf(self, x):
+        x = np.asarray(x, np.float32)
+        single = x.ndim == 1
+        g = np.asarray(self._batched("grad")(jnp.atleast_2d(x)))
+        g = np.where(np.isfinite(g), g, 0.0)
+        return g[0] if single else g
+
+    def _unnormalized_loglikelihood(self, x):
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        mean, var = self.model.predict(x)
+        return np.asarray(special.norm_logcdf(
+            (self.threshold - mean.ravel()) / np.sqrt(var.ravel())))
+
+    def rvs(self, size=None, random_state=None):
+        raise NotImplementedError(
+            "Use a sampler (e.g. BOLFI.sample) to sample from the posterior")
+
+    def plot(self, logpdf=False):
+        from ..visualization import plot_gp
+        return plot_gp(self.model, self.model.parameter_names or
+                       [f"x{i}" for i in range(self.dim)])
+
+
+class BolfirePosterior:
+    """BOLFIRE posterior: prior * exp(GP mean of the log-ratio)
+    (reference ``posteriors.py:259-390``)."""
+
+    def __init__(self, parameter_names, model, prior, seed=0):
+        self.parameter_names = parameter_names
+        self.model = model
+        self.prior = prior
+        self.random_state = np.random.RandomState(seed)
+        self._jit_cache = {}
+
+    def traceable_logpdf(self):
+        pred = self.model.device_predict(noiseless=True)
+        prior_logpdf = self.prior.traceable_logpdf()
+
+        def logpdf(theta):
+            mu, _ = pred(theta[None])
+            return mu[0] + prior_logpdf(theta[None])[0]
+
+        return logpdf
+
+    def _batched(self, what):
+        if what not in self._jit_cache:
+            single = self.traceable_logpdf()
+            fn = jax.jit(jax.vmap(single)) if what == "logpdf" else \
+                jax.jit(jax.vmap(jax.grad(single)))
+            self._jit_cache[what] = fn
+        return self._jit_cache[what]
+
+    def logpdf(self, x):
+        x = np.asarray(x, np.float32)
+        single = x.ndim == 1
+        vals = np.asarray(self._batched("logpdf")(jnp.atleast_2d(x)))
+        return float(vals[0]) if single else vals
+
+    def pdf(self, x):
+        return np.exp(self.logpdf(x))
+
+    def gradient_logpdf(self, x):
+        x = np.asarray(x, np.float32)
+        single = x.ndim == 1
+        g = np.asarray(self._batched("grad")(jnp.atleast_2d(x)))
+        g = np.where(np.isfinite(g), g, 0.0)
+        return g[0] if single else g
+
+    @property
+    def map_estimates(self):
+        """MAP point by multi-start minimization of -logpdf (reference
+        ``posteriors.py:366-390``)."""
+        loc, _ = minimize(lambda x: -self.logpdf(x), self.model.bounds,
+                          grad=lambda x: -self.gradient_logpdf(x),
+                          prior=self.prior, n_start_points=10,
+                          random_state=self.random_state)
+        from .utils import flat_array_to_dict
+        return flat_array_to_dict(self.parameter_names, loc)
+
+
+class RomcPosterior:
+    """ROMC posterior (defined in :mod:`elfi_tpu.methods.romc`); placeholder
+    re-export so ``from elfi_tpu.methods.posteriors import RomcPosterior``
+    keeps reference-layout parity."""
+
+    def __new__(cls, *args, **kwargs):
+        from .romc import RomcPosterior as _RP
+        return _RP(*args, **kwargs)

@@ -92,6 +92,18 @@ def flat_array_to_dict(names, arr):
     return {name: np.atleast_1d(arr[i]) for i, name in enumerate(names)}
 
 
+def resolve_sigmas(parameter_names, sigma_proposals=None, bounds=None):
+    """Resolve Metropolis proposal stds; default 1/10 of bound lengths
+    (reference ``utils.py:460-500``)."""
+    if sigma_proposals is None:
+        if bounds is None:
+            raise ValueError("Either sigma_proposals or bounds is required")
+        return np.array([(b[1] - b[0]) / 10 for b in bounds])
+    if isinstance(sigma_proposals, dict):
+        return np.array([sigma_proposals[n] for n in parameter_names])
+    return np.asarray(sigma_proposals)
+
+
 def numgrad(fn, x, h=1e-5):
     """Numeric central-difference gradient kept for API parity with the
     reference (``utils.py:275-314``); prefer ``jax.grad``."""

@@ -97,6 +97,11 @@ class ModelPrior:
 
         return fn
 
+    def traceable_logpdf(self):
+        """Traceable ``x (n, dim) -> (n,)`` joint log-prior for embedding in
+        jitted samplers/acquisitions."""
+        return self._logpdf_traceable()
+
     def logpdf(self, x):
         if self._logpdf_jit is None:
             self._logpdf_jit = jax.jit(self._logpdf_traceable())
