@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import elfi_tpu as elfi
+from elfi_tpu.methods.bo.acquisition import (LCBSC, MaxVar, RandMaxVar,
+                                             UniformAcquisition)
+from elfi_tpu.model.extensions import ModelPrior
+
+
+@pytest.fixture(scope="module")
+def ma2_log():
+    from elfi_tpu.models import ma2
+    m = ma2.get_model(seed_obs=4)
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
+    return m
+
+
+@pytest.fixture(scope="module")
+def fitted_bolfi(ma2_log):
+    bolfi = elfi.BOLFI(ma2_log["log_d"], batch_size=1, initial_evidence=16,
+                       update_interval=8,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                       acq_noise_var=0.1, seed=42)
+    post = bolfi.fit(n_evidence=40, bar=False)
+    return bolfi, post
+
+
+def test_bolfi_fit(fitted_bolfi):
+    bolfi, post = fitted_bolfi
+    assert bolfi.target_model.n_evidence == 40
+    assert np.isfinite(post.threshold)
+    res = bolfi.extract_result()
+    assert set(res.x_min) == {"t1", "t2"}
+    assert -2 <= res.x_min["t1"][0] <= 2
+
+
+def test_bolfi_posterior_logpdf(fitted_bolfi):
+    _, post = fitted_bolfi
+    x = np.array([0.6, 0.2], np.float32)
+    lp = post.logpdf(x)
+    assert np.isfinite(lp)
+    g = post.gradient_logpdf(x)
+    assert g.shape == (2,)
+    # outside prior support -> -inf
+    assert post.logpdf(np.array([3.0, 0.0], np.float32)) == -np.inf
+
+
+def test_bolfi_sample(fitted_bolfi):
+    bolfi, _ = fitted_bolfi
+    res = bolfi.sample(400, n_chains=2, bar=False)
+    assert res.chains.shape == (2, 400, 2)
+    assert res.n_samples == 2 * 200
+    means = res.sample_means_array
+    assert -2 < means[0] < 2 and -1 < means[1] < 1
+
+
+def test_bolfi_continue_fit(ma2_log):
+    bolfi = elfi.BOLFI(ma2_log["log_d"], batch_size=1, initial_evidence=16,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)}, seed=7)
+    bolfi.fit(n_evidence=20, bar=False)
+    bolfi.infer(30, bar=False)
+    assert bolfi.target_model.n_evidence == 30
+
+
+def test_acquisitions(fitted_bolfi):
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+
+    for acq_cls, kwargs in [(LCBSC, {}), (MaxVar, {}),
+                            (UniformAcquisition, {})]:
+        acq = acq_cls(gp, prior=prior, seed=0, **kwargs) \
+            if acq_cls is not UniformAcquisition else acq_cls(gp, seed=0)
+        pts = acq.acquire(3, t=2)
+        assert pts.shape == (3, 2)
+        for i, b in enumerate(gp.bounds):
+            assert np.all(pts[:, i] >= b[0]) and np.all(pts[:, i] <= b[1])
+
+
+def test_randmaxvar(fitted_bolfi):
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+    acq = RandMaxVar(gp, prior=prior, n_samples=40, seed=0)
+    pts = acq.acquire(1, t=0)
+    assert pts.shape == (1, 2)
+
+
+def test_bayesian_optimization_result(ma2_log):
+    bo = elfi.BayesianOptimization(ma2_log["log_d"], batch_size=1,
+                                   initial_evidence=16,
+                                   bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                                   seed=3)
+    res = bo.infer(20, bar=False)
+    assert isinstance(res, elfi.OptimizationResult)
+    assert "log_d" in res.outputs

@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from elfi_tpu.methods.bo.gp import GPRegression
+from elfi_tpu.methods.bo.utils import minimize, stochastic_optimization
+
+
+@pytest.fixture(scope="module")
+def fitted_gp():
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, size=(30, 1))
+    y = X[:, 0] ** 2 + 0.05 * rng.randn(30)
+    gp = GPRegression(["x"], bounds=[(-2, 2)])
+    gp.update(X, y, optimize=True)
+    return gp
+
+
+def test_gp_predict_accuracy(fitted_gp):
+    xs = np.linspace(-1.8, 1.8, 7)[:, None]
+    mu, var = fitted_gp.predict(xs)
+    assert mu.shape == (7, 1) and var.shape == (7, 1)
+    np.testing.assert_allclose(mu[:, 0], xs[:, 0] ** 2, atol=0.25)
+    assert np.all(var > 0)
+
+
+def test_gp_gradients(fitted_gp):
+    xs = np.array([[1.0], [-1.0], [0.5]])
+    gmu, gvar = fitted_gp.predictive_gradients(xs)
+    np.testing.assert_allclose(gmu[:, 0], 2 * xs[:, 0], atol=0.5)
+    # finite-difference agreement
+    eps = 1e-3
+    fd = (fitted_gp.predict(xs + eps)[0] - fitted_gp.predict(xs - eps)[0]) \
+        / (2 * eps)
+    np.testing.assert_allclose(gmu[:, 0], fd[:, 0], atol=0.05)
+
+
+def test_gp_incremental_update_no_refit(fitted_gp):
+    gp = fitted_gp.copy()
+    n0 = gp.n_evidence
+    gp.update(np.array([[0.3]]), np.array([0.09]))
+    assert gp.n_evidence == n0 + 1
+    mu, _ = gp.predict(np.array([[0.3]]))
+    assert abs(mu[0, 0] - 0.09) < 0.3
+
+
+def test_gp_noiseless_variance_smaller(fitted_gp):
+    xs = np.array([[0.7]])
+    _, v_noisy = fitted_gp.predict(xs, noiseless=False)
+    _, v_clean = fitted_gp.predict(xs, noiseless=True)
+    assert v_clean[0, 0] <= v_noisy[0, 0]
+
+
+def test_gp_empty_predict():
+    gp = GPRegression(["x"], bounds=[(0, 1)])
+    mu, var = gp.predict(np.array([[0.5]]))
+    assert mu[0, 0] == 0 and var[0, 0] == 1
+
+
+def test_gp_bounds_dict():
+    gp = GPRegression(["a", "b"], bounds={"b": (0, 2), "a": (-1, 1)})
+    assert gp.bounds == [(-1, 1), (0, 2)]
+
+
+def test_minimize_quadratic():
+    loc, val = minimize(lambda x: np.sum((x - 0.3) ** 2),
+                        [(-1, 1)], n_start_points=5,
+                        random_state=np.random.RandomState(1))
+    assert abs(loc[0] - 0.3) < 1e-3
+
+
+def test_stochastic_optimization():
+    loc, val = stochastic_optimization(
+        lambda x: np.atleast_1d(np.sum((x - 0.5) ** 2)), [(0, 1)],
+        maxiter=50, seed=3)
+    assert abs(loc[0] - 0.5) < 1e-2

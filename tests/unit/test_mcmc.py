@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from elfi_tpu.methods import mcmc
+
+
+def std_normal(x):
+    return -0.5 * jnp.sum(x ** 2)
+
+
+def test_nuts_standard_normal():
+    chains = mcmc.nuts_chains(1200, np.zeros((2, 2)) + 0.5, std_normal,
+                              seed=0)
+    post = chains[:, 600:, :].reshape(-1, 2)
+    np.testing.assert_allclose(post.mean(0), 0, atol=0.12)
+    np.testing.assert_allclose(post.std(0), 1.0, atol=0.15)
+
+
+def test_nuts_deterministic():
+    a = mcmc.nuts(200, np.array([0.5]), std_normal, seed=3)
+    b = mcmc.nuts(200, np.array([0.5]), std_normal, seed=3)
+    c = mcmc.nuts(200, np.array([0.5]), std_normal, seed=4)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_nuts_bad_init_raises():
+    def target(x):
+        return jnp.where(x[0] > 0, -x[0], -jnp.inf)[()]
+    with pytest.raises(ValueError):
+        mcmc.nuts(100, np.array([-1.0]), target, seed=0)
+
+
+def test_metropolis_normal():
+    s = mcmc.metropolis(8000, np.array([0.0]),
+                        lambda x: -0.5 * jnp.sum(x ** 2) / 0.25,
+                        np.array([0.4]), warmup=500, seed=1)
+    assert abs(s.mean()) < 0.1
+    np.testing.assert_allclose(s.std(), 0.5, atol=0.08)
+
+
+def test_ess_iid():
+    rng = np.random.RandomState(0)
+    chains = rng.randn(2, 2000)
+    ess = mcmc.eff_sample_size(chains)
+    assert 2500 < ess < 5500  # iid -> close to 4000
+
+
+def test_ess_correlated_smaller():
+    rng = np.random.RandomState(0)
+    x = rng.randn(3000)
+    y = np.convolve(x, np.ones(10) / 10, mode="same")  # autocorrelated
+    assert mcmc.eff_sample_size(y[None]) < mcmc.eff_sample_size(x[None])
+
+
+def test_gelman_rubin():
+    rng = np.random.RandomState(0)
+    good = rng.randn(4, 1000)
+    assert mcmc.gelman_rubin_statistic(good) < 1.05
+    bad = good + np.arange(4)[:, None] * 3
+    assert mcmc.gelman_rubin_statistic(bad) > 1.5
