@@ -130,7 +130,11 @@ class CompiledProgram:
             vals = {}
             for name in order:
                 if name in override_names:
-                    vals[name] = overrides[name]
+                    v = jnp.asarray(overrides[name])
+                    # scalar overrides broadcast over the batch (e.g.
+                    # fixed-theta simulation sweeps)
+                    vals[name] = jnp.broadcast_to(v, (batch_size,)) \
+                        if v.ndim == 0 else v
                     continue
                 st = states[name]
                 parents = [vals[p] for p in parent_lists[name]]

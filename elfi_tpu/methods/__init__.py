@@ -10,3 +10,4 @@ from . import mcmc  # noqa: F401
 from .bo.gp import GPRegression  # noqa: F401
 from .bo.acquisition import (LCBSC, ExpIntVar, MaxVar,  # noqa: F401
                              RandMaxVar, UniformAcquisition)
+from .bsl import BSL  # noqa: F401

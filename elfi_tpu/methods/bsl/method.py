@@ -1,0 +1,273 @@
+"""BSL: Bayesian Synthetic Likelihood via Metropolis-Hastings MCMC
+(Price et al. 2018; reference ``elfi/methods/inference/bsl.py``).
+
+The per-round simulation batches (many sims at the SAME theta) run as one
+jitted device program through :class:`~elfi_tpu.methods.base.ModelBased`;
+the per-round synthetic-likelihood estimate and the MH accept/reject happen
+host-side on the (n_sim_round, d) summary matrix."""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import numpy as np
+
+from ...model.extensions import ModelPrior
+from ..base import ModelBased
+from ..results import BslSample
+from ..utils import batch_to_arr2d
+from .pdf_methods import gaussian_syn_likelihood
+from .slice_samplers import slice_gamma_mean, slice_gamma_variance
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["BSL"]
+
+
+class BSL(ModelBased):
+    """Bayesian synthetic likelihood sampler."""
+
+    def __init__(self, model, n_sim_round, feature_names=None,
+                 likelihood=None, **kwargs):
+        super().__init__(model, n_sim_round, feature_names=feature_names,
+                         **kwargs)
+        self.random_state = np.random.RandomState(self.seed)
+        self.likelihood = likelihood or gaussian_syn_likelihood
+        self.is_misspec = (isinstance(likelihood, partial)
+                           and "adjustment" in likelihood.keywords)
+        self.param_names = None
+        self.prior = None
+        self.sigma_proposals = None
+        self.burn_in = 0
+        self.logit_transform_bound = None
+        self.gamma_sampler = None
+        self.gamma_sampler_state = {}
+
+    @property
+    def parameter_names(self):
+        return self.param_names or self.model.parameter_names
+
+    def sample(self, n_samples, sigma_proposals, params0=None,
+               param_names=None, burn_in=0, logit_transform_bound=None,
+               tau=0.5, w=1, max_iter=1000, **kwargs):
+        """Run the MH chain for ``n_samples`` rounds (reference
+        ``bsl.py:69-124``)."""
+        self.sigma_proposals = np.atleast_2d(sigma_proposals)
+        self.param_names = param_names
+        self.prior = ModelPrior(self.model,
+                                parameter_names=self.parameter_names)
+        self.burn_in = burn_in
+        self.logit_transform_bound = None if logit_transform_bound is None \
+            else np.asarray(logit_transform_bound)
+        if self.is_misspec:
+            self.gamma_sampler, gamma0 = self._resolve_gamma_sampler(
+                tau, w, max_iter)
+        else:
+            gamma0 = None
+        self._init_state(n_samples, params0, gamma0)
+        return self.infer(n_samples, **kwargs)
+
+    def _resolve_gamma_sampler(self, tau, w, max_iter):
+        adjustment = self.likelihood.keywords["adjustment"]
+        sampler = {"mean": slice_gamma_mean,
+                   "variance": slice_gamma_variance}[adjustment]
+        sampler = partial(sampler, tau=tau, w=w, max_iter=max_iter,
+                          random_state=self.random_state)
+        gamma0 = {"mean": 0.0, "variance": tau}[adjustment]
+        return sampler, np.repeat(gamma0, self.observed.size)
+
+    def _init_state(self, n_samples, params0=None, gamma0=None):
+        super()._init_state()
+        if params0 is None:
+            batch = self.model.generate(1, self.parameter_names,
+                                        seed=self.seed)
+            params0 = batch_to_arr2d(batch, self.parameter_names)
+        else:
+            params0 = np.atleast_2d(params0)
+            if not np.all(np.isfinite(self.prior.logpdf(params0))):
+                raise ValueError(
+                    f"Initial point {params0} is outside prior support")
+        self.state["n_samples"] = 0
+        self.num_accepted = 0
+        self.state["params"] = np.zeros((n_samples,
+                                         len(self.parameter_names)))
+        self.state["params"][0] = params0
+        self.state["logprior"] = np.zeros(n_samples)
+        self.state["logprior"][0] = float(np.asarray(
+            self.prior.logpdf(params0)).ravel()[0])
+        self.state["logposterior"] = np.zeros(n_samples)
+        if self.is_misspec:
+            self.state["gamma"] = np.zeros((n_samples, self.observed.size))
+            self.state["gamma"][0] = gamma0
+            self.gamma_sampler_state = {"gamma": gamma0}
+
+    def extract_result(self):
+        samples_all = {p: self.state["params"][:, i]
+                       for i, p in enumerate(self.parameter_names)}
+        if self.is_misspec:
+            samples_all["gamma"] = self.state["gamma"][:]
+        acc_rate = self.num_accepted / max(
+            self.state["n_samples"] - self.burn_in, 1)
+        return BslSample(method_name="BSL", samples_all=samples_all,
+                         acc_rate=acc_rate, burn_in=self.burn_in,
+                         n_sim=self.state["n_sim"],
+                         parameter_names=self.parameter_names)
+
+    @property
+    def current_params(self):
+        return self.state["params"][self.state["n_samples"]]
+
+    def _init_round(self):
+        """Propose new params; auto-reject proposals outside the prior
+        (reference ``bsl.py:200-230``)."""
+        while self.state["n_samples"] < len(self.state["params"]):
+            n = self.state["n_samples"]
+            if self.is_misspec:
+                gamma, ll = self.gamma_sampler(self.observed,
+                                               **self.gamma_sampler_state)
+                self.gamma_sampler_state["gamma"] = gamma
+                self.gamma_sampler_state["loglik"] = ll
+                self.state["gamma"][n] = gamma
+                self.state["logposterior"][n - 1] = \
+                    ll + self.state["logprior"][n - 1]
+            prop = self._propagate_state()
+            logprior = float(np.asarray(self.prior.logpdf(prop)).ravel()[0])
+            if np.isfinite(logprior):
+                self.state["logprior"][n] = logprior
+                self.state["params"][n] = prop
+                self.state["n_sim_round"] = 0
+                break
+            # instant reject without simulating
+            self.state["logprior"][n] = self.state["logprior"][n - 1]
+            self.state["params"][n] = self.state["params"][n - 1]
+            self.state["logposterior"][n] = self.state["logposterior"][n - 1]
+            self.state["n_samples"] += 1
+            self.set_objective(self.objective["round"] - 1)
+
+    def _process_simulated(self):
+        """Estimate the synthetic likelihood and MH accept/reject
+        (reference ``bsl.py:232-285``)."""
+        if not np.all(np.isfinite(self.simulated)):
+            loglikelihood = -np.inf
+        elif self.is_misspec:
+            loglikelihood = float(np.asarray(self.likelihood(
+                self.simulated, self.observed,
+                gamma=self.gamma_sampler_state["gamma"])).ravel()[0])
+        else:
+            loglikelihood = float(np.asarray(self.likelihood(
+                self.simulated, self.observed)).ravel()[0])
+
+        n = self.state["n_samples"]
+        if not np.isfinite(loglikelihood):
+            if n == 0:
+                raise RuntimeError("Estimated likelihood not finite on "
+                                   "initialisation round")
+            logger.warning("Estimated likelihood not finite")
+        self.state["logposterior"][n] = loglikelihood + \
+            self.state["logprior"][n]
+
+        if n == 0:
+            accept = True
+        else:
+            prob = np.minimum(1.0, self._get_mh_ratio())
+            accept = self.random_state.uniform() < prob
+        if accept:
+            if self.is_misspec:
+                self.gamma_sampler_state["loglik"] = loglikelihood
+                self.gamma_sampler_state["sample_mean"] = \
+                    np.mean(self.simulated, axis=0)
+                self.gamma_sampler_state["sample_cov"] = \
+                    np.cov(self.simulated, rowvar=False)
+            if n >= self.burn_in:
+                self.num_accepted += 1
+        else:
+            self.state["logprior"][n] = self.state["logprior"][n - 1]
+            self.state["params"][n] = self.state["params"][n - 1]
+            self.state["logposterior"][n] = self.state["logposterior"][n - 1]
+        self.state["n_samples"] += 1
+
+    def _propagate_state(self):
+        """Gaussian random-walk proposal, optionally in logit space
+        (reference ``bsl.py:287-297``)."""
+        mean = self.state["params"][self.state["n_samples"] - 1]
+        if self.logit_transform_bound is not None:
+            tilde = _logit_transform(mean, self.logit_transform_bound)
+            draw = self.random_state.multivariate_normal(
+                tilde, self.sigma_proposals)
+            prop = _logit_back_transform(draw, self.logit_transform_bound)
+        else:
+            prop = self.random_state.multivariate_normal(
+                mean, self.sigma_proposals)
+        return np.atleast_2d(prop)
+
+    def _get_mh_ratio(self):
+        n = self.state["n_samples"]
+        res = self.state["logposterior"][n] - \
+            self.state["logposterior"][n - 1]
+        if self.logit_transform_bound is not None:
+            res += _logit_jacobian(self.state["params"][n],
+                                   self.logit_transform_bound) - \
+                _logit_jacobian(self.state["params"][n - 1],
+                                self.logit_transform_bound)
+        return np.exp(np.clip(res, -700, 700))
+
+
+def _bound_types(bound):
+    """0: both finite, 1: only upper finite, 2: only lower finite, 3: none."""
+    return np.isinf(bound[:, 0]) * 1 + np.isinf(bound[:, 1]) * 2
+
+
+def _logit_transform(theta, bound):
+    """Map params to unbounded space per-coordinate (reference
+    ``bsl.py:320-357``)."""
+    theta = np.asarray(theta, np.float64).ravel()
+    a, b = bound[:, 0], bound[:, 1]
+    t = _bound_types(bound)
+    out = np.empty_like(theta)
+    for i, ty in enumerate(t):
+        x = theta[i]
+        if ty == 0:
+            out[i] = np.log((x - a[i]) / (b[i] - x))
+        elif ty == 1:
+            out[i] = np.log(1 / (b[i] - x))
+        elif ty == 2:
+            out[i] = np.log(x - a[i])
+        else:
+            out[i] = x
+    return out
+
+
+def _logit_back_transform(tilde, bound):
+    tilde = np.asarray(tilde, np.float64).ravel()
+    a, b = bound[:, 0], bound[:, 1]
+    t = _bound_types(bound)
+    out = np.empty_like(tilde)
+    for i, ty in enumerate(t):
+        y = tilde[i]
+        ey = np.exp(y)
+        if ty == 0:
+            out[i] = a[i] / (1 + ey) + b[i] / (1 + 1 / ey)
+        elif ty == 1:
+            out[i] = b[i] - 1 / ey
+        elif ty == 2:
+            out[i] = a[i] + ey
+        else:
+            out[i] = y
+    return out
+
+
+def _logit_jacobian(theta, bound):
+    """log |d theta / d tilde| evaluated at the transformed value of theta."""
+    tilde = _logit_transform(theta, bound)
+    a, b = bound[:, 0], bound[:, 1]
+    t = _bound_types(bound)
+    logj = np.zeros(len(tilde))
+    for i, ty in enumerate(t):
+        y = tilde[i]
+        if ty == 0:
+            ey = np.exp(y)
+            logj[i] = np.log(b[i] - a[i]) - np.log(1 / ey + 2 + ey)
+        elif ty in (1, 2):
+            logj[i] = y
+    return float(np.sum(logj))

@@ -326,6 +326,8 @@ def eff_sample_size(chains):
     var_between = 0 if n_chains == 1 else n_samples * np.var(means, ddof=1)
     var_within = np.mean(variances)
     var_pooled = ((n_samples - 1.) * var_within + var_between) / n_samples
+    if var_pooled == 0:  # constant chain
+        return float(n_chains * n_samples)
     n_padded = int(2 ** np.ceil(1 + np.log2(n_samples)))
     freqs = np.fft.rfft(chains - means[:, None], n_padded)
     autocov = np.fft.irfft(np.abs(freqs) ** 2)[:, :n_samples].real
