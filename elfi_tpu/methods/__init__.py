@@ -11,3 +11,5 @@ from .bo.gp import GPRegression  # noqa: F401
 from .bo.acquisition import (LCBSC, ExpIntVar, MaxVar,  # noqa: F401
                              RandMaxVar, UniformAcquisition)
 from .bsl import BSL  # noqa: F401
+from .bolfire import BOLFIRE  # noqa: F401
+from .classifier import GPClassifier, LogisticRegression  # noqa: F401

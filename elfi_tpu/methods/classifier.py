@@ -1,0 +1,167 @@
+"""Ratio-estimation classifiers for BOLFIRE (reference
+``elfi/methods/classifier.py``).
+
+``LogisticRegression`` wraps scikit-learn (as the reference does);
+``GPClassifier`` replaces the reference's GPy ``GPClassification`` with a
+from-scratch JAX Laplace-approximation GP binary classifier (logistic link,
+Newton mode finding, probit-approximated predictive probabilities)."""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+__all__ = ["Classifier", "LogisticRegression", "GPClassifier"]
+
+
+class Classifier(abc.ABC):
+    """Ratio-estimation classifier interface."""
+
+    @abc.abstractmethod
+    def __init__(self):
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def fit(self, X, y):
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def predict_log_likelihood_ratio(self, X):
+        raise NotImplementedError
+
+    def predict_likelihood_ratio(self, X):
+        return np.exp(self.predict_log_likelihood_ratio(X))
+
+    @property
+    @abc.abstractmethod
+    def attributes(self):
+        raise NotImplementedError
+
+
+class LogisticRegression(Classifier):
+    """L1-penalized logistic regression with feature standardisation
+    (reference ``classifier.py:72-123``)."""
+
+    def __init__(self, config=None, class_min=0):
+        from sklearn.linear_model import LogisticRegression as LogReg
+        from sklearn.preprocessing import StandardScaler
+        self.config = config if isinstance(config, dict) else \
+            {"solver": "liblinear", "l1_ratio": 1.0}
+        if not isinstance(class_min, (int, float)):
+            raise TypeError("class_min has to be a non-negative number")
+        self.class_min = class_min
+        self.model = LogReg(**self.config)
+        self.scaler = StandardScaler()
+
+    def fit(self, X, y):
+        Xs = self.scaler.fit_transform(X)
+        self.model.fit(Xs, y)
+
+    def predict_log_likelihood_ratio(self, X):
+        Xs = self.scaler.transform(X)
+        p = np.maximum(self.model.predict_proba(Xs)[:, 1], self.class_min)
+        return np.log(p / (1 - p))
+
+    @property
+    def attributes(self):
+        return {"parameters": {
+            "coef_": self.model.coef_.tolist(),
+            "intercept_": self.model.intercept_.tolist(),
+            "n_iter": self.model.n_iter_.tolist()}}
+
+
+@jax.jit
+def _laplace_mode(K, y01, n_newton=20):
+    """Newton iterations for the Laplace-approximation latent mode
+    (logistic likelihood; Rasmussen & Williams Alg. 3.1)."""
+    n = K.shape[0]
+
+    def body(_, f):
+        pi = jax.nn.sigmoid(f)
+        W = pi * (1 - pi)
+        sW = jnp.sqrt(W)
+        B = jnp.eye(n) + sW[:, None] * K * sW[None, :]
+        L = jnp.linalg.cholesky(B)
+        b = W * f + (y01 - pi)
+        a = b - sW * jax.scipy.linalg.cho_solve(
+            (L, True), sW * (K @ b))
+        return K @ a
+
+    f = jax.lax.fori_loop(0, n_newton, body, jnp.zeros(n))
+    pi = jax.nn.sigmoid(f)
+    W = pi * (1 - pi)
+    sW = jnp.sqrt(W)
+    B = jnp.eye(n) + sW[:, None] * K * sW[None, :]
+    L = jnp.linalg.cholesky(B)
+    return f, pi, sW, L
+
+
+@jax.jit
+def _laplace_predict(Kxs, Kss_diag, f, pi, sW, L, y01):
+    """Predictive class-1 probability via the probit approximation."""
+    mu = Kxs.T @ (y01 - pi)
+    v = jax.scipy.linalg.solve_triangular(L, sW[:, None] * Kxs, lower=True)
+    var = jnp.maximum(Kss_diag - jnp.sum(v * v, axis=0), 1e-10)
+    # MacKay's probit approximation of the logistic-Gaussian integral
+    kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi * var / 8.0)
+    return jax.nn.sigmoid(kappa * mu)
+
+
+class GPClassifier(Classifier):
+    """Laplace-approximation GP binary classifier (replaces GPy's
+    ``GPClassification``, reference ``classifier.py:126-189``).
+
+    ARD RBF kernel with median-heuristic lengthscales; labels in {-1, +1}
+    or {0, 1}.
+    """
+
+    def __init__(self, kernel=None, mean_function=None, class_min=0,
+                 signal_var=1.0):
+        self.class_min = class_min
+        self.signal_var = signal_var
+        self._fit = None
+
+    @staticmethod
+    def _median_lengthscales(X):
+        n = min(len(X), 300)
+        sub = X[:n]
+        d2 = np.abs(sub[:, None, :] - sub[None, :, :])
+        med = np.median(d2[np.triu_indices(n, 1)], axis=0)
+        return np.maximum(med, 1e-3)
+
+    def _kern(self, A, B):
+        ls = self._ls
+        d2 = np.sum(((A[:, None, :] - B[None, :, :]) / ls) ** 2, axis=-1)
+        return self.signal_var * np.exp(-0.5 * d2)
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y01 = (np.asarray(y) > 0).astype(np.float64)
+        self._ls = self._median_lengthscales(X)
+        K = self._kern(X, X) + 1e-6 * np.eye(len(X))
+        f, pi, sW, L = _laplace_mode(jnp.asarray(K, jnp.float32),
+                                     jnp.asarray(y01, jnp.float32))
+        self._fit = (X, np.asarray(y01), f, pi, sW, L)
+
+    def predict_proba(self, X):
+        Xtr, y01, f, pi, sW, L = self._fit
+        Kxs = self._kern(Xtr, np.asarray(X, np.float64))
+        Kss = np.full(len(X), self.signal_var)
+        p1 = np.asarray(_laplace_predict(
+            jnp.asarray(Kxs, jnp.float32), jnp.asarray(Kss, jnp.float32),
+            f, pi, sW, L, jnp.asarray(y01, jnp.float32)))
+        return np.column_stack([1 - p1, p1])
+
+    def predict_log_likelihood_ratio(self, X):
+        p = np.maximum(self.predict_proba(X)[:, 1], self.class_min)
+        return np.log(p / (1 - p))
+
+    @property
+    def attributes(self):
+        return {"parameters": {"lengthscales": self._ls.tolist(),
+                               "signal_var": self.signal_var}}

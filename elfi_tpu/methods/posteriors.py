@@ -105,10 +105,12 @@ class BolfirePosterior:
     """BOLFIRE posterior: prior * exp(GP mean of the log-ratio)
     (reference ``posteriors.py:259-390``)."""
 
-    def __init__(self, parameter_names, model, prior, seed=0):
+    def __init__(self, parameter_names, model, prior,
+                 classifier_attributes=None, seed=0):
         self.parameter_names = parameter_names
         self.model = model
         self.prior = prior
+        self.classifier_attributes = classifier_attributes or []
         self.random_state = np.random.RandomState(seed)
         self._jit_cache = {}
 

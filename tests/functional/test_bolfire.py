@@ -1,0 +1,52 @@
+import numpy as np
+import pytest
+
+import elfi_tpu as elfi
+from elfi_tpu.methods.classifier import GPClassifier, LogisticRegression
+
+
+def test_logistic_regression_classifier():
+    rng = np.random.RandomState(0)
+    X = np.vstack([rng.normal(1, 1, (200, 2)), rng.normal(-1, 1, (200, 2))])
+    y = np.concatenate([np.ones(200), -np.ones(200)])
+    clf = LogisticRegression()
+    clf.fit(X, y)
+    lr = clf.predict_log_likelihood_ratio(np.array([[2.0, 2.0], [-2., -2.]]))
+    assert lr[0] > 0 > lr[1]
+    assert "parameters" in clf.attributes
+
+
+def test_gp_classifier():
+    rng = np.random.RandomState(0)
+    X = np.vstack([rng.normal(1, 0.5, (80, 1)), rng.normal(-1, 0.5, (80, 1))])
+    y = np.concatenate([np.ones(80), -np.ones(80)])
+    clf = GPClassifier()
+    clf.fit(X, y)
+    lr = clf.predict_log_likelihood_ratio(np.array([[1.5], [-1.5]]))
+    assert lr[0] > 0 > lr[1]
+
+
+@pytest.fixture(scope="module")
+def bolfire_fitted(request):
+    from elfi_tpu.models import ma2
+    m = ma2.get_model(seed_obs=4)
+    bolfire = elfi.BOLFIRE(m, n_training_data=100, batch_size=100,
+                           bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                           n_initial_evidence=5, update_interval=5, seed=11)
+    bolfire.fit(n_evidence=12, bar=False)
+    return bolfire
+
+
+def test_bolfire_fit(bolfire_fitted):
+    assert bolfire_fitted.target_model.n_evidence == 12
+    post = bolfire_fitted.extract_result()
+    lp = post.logpdf(np.array([0.6, 0.2], np.float32))
+    assert np.isfinite(lp)
+    maps = post.map_estimates
+    assert set(maps) == {"t1", "t2"}
+
+
+def test_bolfire_sample(bolfire_fitted):
+    res = bolfire_fitted.sample(200, n_chains=2, bar=False)
+    assert res.chains.shape == (2, 200, 2)
+    assert np.all(np.abs(res.sample_means_array) < 3)
