@@ -22,7 +22,7 @@ from .ops.distributions import Distribution  # noqa: F401
 from .parallel import (BatchHandler, MultiprocessingBackend,  # noqa: F401
                        NativeBackend, ShardedBackend, get_client,
                        reset_client, set_client)
-from .methods import (BOLFI, BOLFIRE, BSL, SMC, AdaptiveDistanceSMC,  # noqa: F401
+from .methods import (BOLFI, BOLFIRE, BSL, ROMC, SMC, AdaptiveDistanceSMC,  # noqa: F401
                       AdaptiveThresholdSMC, BayesianOptimization,
                       GPRegression, ModelBased, OptimizationResult,
                       ParameterInference, Rejection, Sample, SmcSample)

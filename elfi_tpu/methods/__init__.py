@@ -13,3 +13,4 @@ from .bo.acquisition import (LCBSC, ExpIntVar, MaxVar,  # noqa: F401
 from .bsl import BSL  # noqa: F401
 from .bolfire import BOLFIRE  # noqa: F401
 from .classifier import GPClassifier, LogisticRegression  # noqa: F401
+from .romc import ROMC, NDimBoundingBox, OptimisationProblem, RomcPosterior  # noqa: F401

@@ -1,0 +1,898 @@
+"""ROMC: Robust Optimisation Monte Carlo (Ikonomov & Gutmann 2019;
+reference ``elfi/methods/inference/romc.py`` + ``posteriors.py:393-795``).
+
+TPU-native redesign.  In the reference each of the n1 deterministic
+objectives is a Python closure over ``model.generate`` with a frozen numpy
+seed, optimised one-at-a-time with scipy Nelder-Mead and differentiated
+with numdifftools.  Here the frozen-seed objective is a TRACEABLE JAX
+function of theta (the nuisance randomness is a frozen PRNG key), so:
+
+- all n1 optimisation problems are solved by ONE vmapped jitted Adam
+  program with exact autodiff gradients (``_solve_all``);
+- Hessians for the region rotations come from ``jax.hessian`` (vmapped);
+- the eigenvector line searches building the bounding boxes are
+  ``lax.while_loop``s vmapped over problems x directions;
+- the posterior indicator sums and the per-region importance sampling are
+  vectorised over (regions x points) instead of the reference's nested
+  Python loops (``posteriors.py:556-795``).
+"""
+
+from __future__ import annotations
+
+import logging
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..compile.compiler import compile_program
+from ..model.extensions import ModelPrior
+from .base import ParameterInference, _ProgressBar
+from .results import RomcSample
+from .utils import compute_ess, flat_array_to_dict
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ROMC", "OptimisationProblem", "RomcOptimisationResult",
+           "NDimBoundingBox", "RegionConstructor", "RomcPosterior",
+           "line_search"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic objectives
+# ---------------------------------------------------------------------------
+
+class DeterministicObjective:
+    """The frozen-key deterministic distance ``d^2(theta; u_i)`` of the
+    reference (``romc.py:562-592``), as a traceable JAX function."""
+
+    def __init__(self, model, discrepancy_name, parameter_names):
+        self.model = model
+        self.discrepancy_name = discrepancy_name
+        self.parameter_names = list(parameter_names)
+        prog = compile_program(model, (discrepancy_name,),
+                               override_names=tuple(parameter_names))
+        self._fn = prog.traceable(batch_size=1)
+
+    def __call__(self, theta, key):
+        """theta (D,), key -> squared distance (scalar); traceable."""
+        overrides = {name: theta[i][None]
+                     for i, name in enumerate(self.parameter_names)}
+        out = self._fn(key, jnp.uint32(0), overrides)[self.discrepancy_name]
+        d = out.reshape(-1)[-1]
+        return d.astype(jnp.float32) ** 2
+
+
+def _adam_minimize(obj, x0, steps, lr, lo, hi):
+    """Traceable bounded Adam descent tracking the best iterate."""
+    grad = jax.grad(obj)
+
+    def body(i, carry):
+        x, m, v, best_x, best_f = carry
+        f = obj(x)
+        better = f < best_f
+        best_x = jnp.where(better, x, best_x)
+        best_f = jnp.where(better, f, best_f)
+        g = grad(x)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mh = m / (1 - 0.9 ** (i + 1.0))
+        vh = v / (1 - 0.999 ** (i + 1.0))
+        step_lr = lr * 0.5 ** (3.0 * i / steps)
+        x = x - step_lr * mh / (jnp.sqrt(vh) + 1e-8)
+        x = jnp.clip(x, lo, hi)
+        return x, m, v, best_x, best_f
+
+    x, _, _, best_x, best_f = jax.lax.fori_loop(
+        0, steps, body, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0,
+                         obj(x0)))
+    f = obj(x)
+    better = f < best_f
+    return jnp.where(better, x, best_x), jnp.where(better, f, best_f)
+
+
+def line_search(f, th_star, vd, eps, K=10, eta=1., rep_lim=300):
+    """Offset along ``vd`` where f first exceeds eps, with K halving
+    refinements (reference ``romc.py:1971-2015``); traceable."""
+    def refine(k, carry):
+        th, offset, eta_k, hit_lim = carry
+
+        def cond(c):
+            th_c, _, rep = c
+            return (f(th_c) < eps) & (rep <= rep_lim)
+
+        def body(c):
+            th_c, off_c, rep = c
+            return th_c + eta_k * vd, off_c + eta_k, rep + 1
+
+        th, offset, rep = jax.lax.while_loop(
+            cond, body, (th, offset, jnp.int32(0)))
+        th = th - eta_k * vd
+        offset = offset - eta_k
+        hit_lim = hit_lim | (rep > rep_lim)
+        return th, offset, eta_k / 2, hit_lim
+
+    def outer(k, carry):
+        th, offset, eta_k, hit = carry
+        return jax.lax.cond(hit, lambda c: c, lambda c: refine(k, c),
+                            (th, offset, eta_k, hit))
+
+    th0 = jnp.asarray(th_star, jnp.float32)
+    _, offset, eta_fin, _ = jax.lax.fori_loop(
+        0, K, outer, (th0, jnp.float32(0.0), jnp.float32(eta),
+                      jnp.bool_(False)))
+    return jnp.where(offset <= 0, eta_fin, offset)
+
+
+# ---------------------------------------------------------------------------
+# regions
+# ---------------------------------------------------------------------------
+
+class NDimBoundingBox:
+    """Eigenvector-aligned bounding box around an optimum (reference
+    ``romc.py:1655-1849``)."""
+
+    def __init__(self, rotation, center, limits):
+        rotation = np.atleast_2d(np.asarray(rotation, float))
+        center = np.atleast_1d(np.asarray(center, float))
+        limits = np.asarray(limits, float).reshape(-1, 2)
+        assert center.shape[0] == rotation.shape[0] == rotation.shape[1]
+        self.dim = rotation.shape[0]
+        self.rotation = rotation
+        self.center = center
+        self.limits = self._secure_limits(limits)
+        self.rotation_inv = np.linalg.inv(self.rotation)
+        self.volume = float(np.prod(self.limits[:, 1] - self.limits[:, 0]))
+
+    @staticmethod
+    def _secure_limits(limits):
+        limits = limits.astype(float)
+        eps = .001
+        for i in range(limits.shape[0]):
+            limits[i, 0] = min(limits[i, 0], 0.0)
+            limits[i, 1] = max(limits[i, 1], 0.0)
+            if np.isclose(limits[i, 0], limits[i, 1], atol=eps):
+                limits[i, 0] -= eps / 2
+                limits[i, 1] += eps / 2
+        return limits
+
+    def contains(self, point):
+        v = self.rotation_inv @ (np.asarray(point) - self.center)
+        return bool(np.all((v >= self.limits[:, 0])
+                           & (v <= self.limits[:, 1])))
+
+    def sample(self, n2, seed=None, key=None):
+        if key is None:
+            key = jax.random.key(seed if seed is not None
+                                 else np.random.randint(2**31))
+        lo = jnp.asarray(self.limits[:, 0])
+        hi = jnp.asarray(self.limits[:, 1])
+        u = jax.random.uniform(key, (n2, self.dim))
+        box = lo + u * (hi - lo)
+        return np.asarray(box @ jnp.asarray(self.rotation).T
+                          + jnp.asarray(self.center))
+
+    def pdf(self, theta):
+        return self.contains(theta) / self.volume
+
+    def plot(self, samples):
+        import matplotlib.pyplot as plt
+        plt.figure()
+        samples = np.atleast_2d(samples)
+        if self.dim == 1:
+            plt.plot(samples[:, 0], np.zeros(len(samples)), "bo")
+        else:
+            plt.plot(samples[:, 0], samples[:, 1], "bo")
+        plt.plot(*np.atleast_1d(self.center)[:2], "ro")
+
+
+class RegionConstructor:
+    """Builds the bounding box via eigenvector line searches (reference
+    ``romc.py:1851-1968``)."""
+
+    def __init__(self, result, func, dim, eps_region, K=10, eta=1.,
+                 rep_lim=300):
+        self.res = result
+        self.func = func
+        self.dim = dim
+        self.eps_region = eps_region
+        self.K = K
+        self.eta = eta
+        self.rep_lim = rep_lim
+
+    @staticmethod
+    def _find_rotation(hess_appr):
+        dim = hess_appr.shape[0]
+        if not np.all(np.isfinite(hess_appr)) or \
+                np.linalg.matrix_rank(hess_appr) != dim:
+            return np.eye(dim)
+        eig_val, eig_vec = np.linalg.eigh((hess_appr + hess_appr.T) / 2)
+        if not np.all(np.isfinite(eig_vec)) or \
+                np.linalg.matrix_rank(eig_vec) < dim:
+            return np.eye(dim)
+        return eig_vec
+
+    def build(self):
+        theta0 = np.asarray(self.res.x_min, float)
+        rotation = self._find_rotation(np.asarray(self.res.hess_appr))
+        f = self.func
+        limits = np.zeros((self.dim, 2))
+        for d in range(self.dim):
+            vd = jnp.asarray(rotation[:, d], jnp.float32)
+            neg = line_search(f, theta0, -vd, self.eps_region, self.K,
+                              self.eta, self.rep_lim)
+            pos = line_search(f, theta0, vd, self.eps_region, self.K,
+                              self.eta, self.rep_lim)
+            limits[d] = [-float(neg), float(pos)]
+        return [NDimBoundingBox(rotation, theta0, limits)]
+
+
+# ---------------------------------------------------------------------------
+# per-problem container (API parity with the reference OptimisationProblem)
+# ---------------------------------------------------------------------------
+
+class RomcOptimisationResult:
+    def __init__(self, x_min, f_min, hess_appr, jac=None, hess=None,
+                 hess_inv=None):
+        self.x_min = np.atleast_1d(np.asarray(x_min, float))
+        self.f_min = float(f_min)
+        self.hess_appr = np.asarray(hess_appr, float)
+        self.jac = jac
+        self.hess = hess
+        self.hess_inv = hess_inv
+
+
+class OptimisationProblem:
+    """One deterministic optimisation problem (reference
+    ``romc.py:1326-1631``)."""
+
+    def __init__(self, ind, nuisance, parameter_names, target_name,
+                 objective, dim, prior, n1, bounds):
+        self.ind = ind
+        self.nuisance = nuisance          # integer seed (API parity)
+        self.key = jax.random.key(int(nuisance))
+        self.objective = objective        # host callable theta -> float
+        self.dim = dim
+        self.bounds = bounds
+        self.parameter_names = parameter_names
+        self.target_name = target_name
+        self.prior = prior
+        self.n1 = n1
+        self.state = {"attempted": False, "solved": False,
+                      "has_fit_surrogate": False,
+                      "has_fit_local_surrogates": False,
+                      "has_built_region_with_surrogate": False,
+                      "region": False}
+        self.bo_process = None
+        self.surrogate = None
+        self.local_surrogates = None
+        self.result = None
+        self.regions = None
+        self.eps_region = None
+        self.initial_point = None
+        # traceable objective set by ROMC for device paths
+        self._traceable = None
+
+    def set_solution(self, x_min, f_min, hess_appr, x0=None):
+        self.result = RomcOptimisationResult(x_min, f_min, hess_appr)
+        self.initial_point = x0
+        self.state["attempted"] = True
+        self.state["solved"] = bool(np.isfinite(f_min))
+        return self.state["solved"]
+
+    def solve_gradients(self, **kwargs):
+        """Solve this problem alone with jitted Adam (the batched path in
+        ROMC._solve_gradients is preferred)."""
+        seed = kwargs.get("seed") or 0
+        x0 = kwargs.get("x0")
+        if x0 is None:
+            x0 = np.asarray(self.prior.rvs(size=self.n1,
+                                           seed=seed))[self.ind]
+        steps = kwargs.get("steps", 300)
+        lr = kwargs.get("lr", 0.1)
+        obj = self._traceable
+        lo, hi = _bounds_arrays(self.bounds, self.dim)
+        x, f = jax.jit(lambda x0_: _adam_minimize(
+            lambda t: obj(t, self.key), x0_, steps, lr, lo, hi))(
+                jnp.asarray(x0, jnp.float32))
+        hess = jax.hessian(lambda t: obj(t, self.key))(x)
+        return self.set_solution(np.asarray(x), float(f), np.asarray(hess),
+                                 x0)
+
+    def solve_bo(self, **kwargs):
+        """Solve with deterministic Bayesian optimisation (reference
+        ``romc.py:1446-1500``)."""
+        from .bo.acquisition import LCBSC
+        from .bo.gp import GPRegression
+
+        n_evidence = kwargs.get("n_evidence", 20)
+        acq_noise_var = kwargs.get("acq_noise_var", 0.1)
+        seed = kwargs.get("seed") or 0
+        bounds = self.bounds if self.bounds is not None else \
+            [(0, 1)] * self.dim
+        gp = GPRegression(self.parameter_names, bounds=list(bounds))
+        acq = LCBSC(gp, prior=self.prior, noise_var=acq_noise_var,
+                    seed=int(seed) + self.ind)
+        n_init = max(5, n_evidence // 3)
+        x_init = np.asarray(self.prior.rvs(
+            size=n_init, seed=int(seed) + 7919 * (self.ind + 1)))
+        x_init = np.clip(x_init, [b[0] for b in bounds],
+                         [b[1] for b in bounds])
+        y_init = np.array([self.objective(x) for x in x_init])
+        gp.update(x_init, y_init, optimize=True)
+        for t in range(n_evidence - n_init):
+            x_new = acq.acquire(1, t=t)
+            y_new = np.array([self.objective(x) for x in x_new])
+            gp.update(x_new, y_new, optimize=(t % 5 == 4))
+
+        pred = gp.device_predict(noiseless=True)
+        self.surrogate = lambda theta: float(np.asarray(
+            pred(jnp.atleast_2d(jnp.asarray(theta, jnp.float32)))[0])[0])
+        self._surrogate_traceable = lambda theta: pred(theta[None])[0][0]
+        self.bo_process = gp
+        from .bo.utils import stochastic_optimization
+        x_min, _ = stochastic_optimization(gp.predict_mean, gp.bounds,
+                                           seed=int(seed))
+        hess = jax.hessian(lambda t: self._traceable(t, self.key))(
+            jnp.asarray(x_min, jnp.float32))
+        solved = self.set_solution(x_min, self.objective(x_min),
+                                   np.asarray(hess))
+        self.state["has_fit_surrogate"] = True
+        return solved
+
+    def build_region(self, **kwargs):
+        """Bounding box via line search (reference ``romc.py:1502-1548``)."""
+        assert self.state["solved"]
+        use_surrogate = kwargs.get("use_surrogate",
+                                   self.state["has_fit_surrogate"])
+        if use_surrogate:
+            assert self.surrogate is not None
+            func = self._surrogate_traceable
+            self.state["has_built_region_with_surrogate"] = True
+        else:
+            func = lambda t: self._traceable(t, self.key)  # noqa: E731
+        eps_region = kwargs["eps_region"]
+        self.eps_region = eps_region
+        constructor = RegionConstructor(
+            self.result, func, self.dim, eps_region=eps_region,
+            K=kwargs.get("K", 10), eta=kwargs.get("eta", 1.),
+            rep_lim=kwargs.get("rep_lim", 300))
+        self.regions = constructor.build()
+        self.state["region"] = True
+        return True
+
+    def fit_local_surrogate(self, **kwargs):
+        """Quadratic least-squares fit inside each region (reference
+        ``romc.py:1550-1595``), via jnp.linalg.lstsq."""
+        nof_samples = kwargs.get("nof_samples", 20)
+        use_surrogate = kwargs.get("use_surrogate", False)
+        if use_surrogate and self.surrogate is not None:
+            objective_t = self._surrogate_traceable
+        else:
+            objective_t = lambda t: self._traceable(t, self.key)  # noqa: E731
+        local = []
+        self._local_coeffs = []
+        for i, region in enumerate(self.regions):
+            x = jnp.asarray(region.sample(
+                nof_samples, key=jax.random.fold_in(self.key, 1000 + i)),
+                jnp.float32)
+            y = jax.vmap(objective_t)(x)
+            feats = _quad_features(x)
+            coef, *_ = jnp.linalg.lstsq(feats, y)
+            self._local_coeffs.append(np.asarray(coef))
+            local.append(_make_local_surrogate(np.asarray(coef)))
+        self.local_surrogates = local
+        self.state["has_fit_local_surrogates"] = True
+        self.state["local_surrogates"] = True
+
+    def visualize_region(self, force_objective=False, samples=None,
+                         savefig=None):
+        import matplotlib.pyplot as plt
+        if not self.state["region"]:
+            logger.warning("Problem %d has no region", self.ind)
+            return
+        region = self.regions[0]
+        func = self.objective if (force_objective or self.surrogate is None) \
+            else self.surrogate
+        if self.dim == 1:
+            xs = np.linspace(region.center[0] + region.limits[0, 0] - .2,
+                             region.center[0] + region.limits[0, 1] + .2, 30)
+            ys = [func(np.atleast_1d(x)) for x in xs]
+            plt.figure()
+            plt.plot(xs, ys, "r--")
+            plt.axvspan(region.center[0] + region.limits[0, 0],
+                        region.center[0] + region.limits[0, 1], alpha=.3)
+            plt.axhline(self.eps_region, color="g")
+        else:
+            region.plot(samples if samples is not None
+                        else region.sample(50, seed=0))
+        if savefig:
+            plt.savefig(savefig, bbox_inches="tight")
+
+
+def _quad_features(x):
+    """[1, x_i, x_i x_j (i<=j)] feature matrix for quadratic fits."""
+    n, d = x.shape
+    cols = [jnp.ones((n, 1)), x]
+    for i in range(d):
+        for j in range(i, d):
+            cols.append((x[:, i] * x[:, j])[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _make_local_surrogate(coef):
+    def fn(theta):
+        theta = np.atleast_1d(np.asarray(theta, np.float32))
+        feats = np.asarray(_quad_features(jnp.asarray(theta)[None]))[0]
+        return float(feats @ coef)
+    return fn
+
+
+def _bounds_arrays(bounds, dim):
+    if bounds is None:
+        return (jnp.full((dim,), -jnp.inf), jnp.full((dim,), jnp.inf))
+    b = np.asarray(bounds, float)
+    return jnp.asarray(b[:, 0], jnp.float32), jnp.asarray(b[:, 1],
+                                                          jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# posterior
+# ---------------------------------------------------------------------------
+
+class RomcPosterior:
+    """ROMC posterior: prior x (sum of region indicators), with vectorised
+    device evaluation (reference ``posteriors.py:393-795``)."""
+
+    def __init__(self, regions, objectives, objectives_actual=None,
+                 objectives_surrogate=None, objectives_local=None,
+                 nuisance=None, surrogate_used=False, prior=None,
+                 left_lim=None, right_lim=None, eps_filter=None,
+                 eps_region=None, eps_cutoff=None, parallelize=False,
+                 traceable_objective=None, keys=None, local_coeffs=None):
+        self.regions = regions
+        self.funcs = objectives
+        self.objectives_actual = objectives_actual
+        self.objectives_surrogate = objectives_surrogate
+        self.objectives_local = objectives_local
+        self.nuisance = nuisance
+        self.surrogate_used = surrogate_used
+        self.prior = prior
+        self.left_lim = left_lim
+        self.right_lim = right_lim
+        self.eps_filter = eps_filter
+        self.eps_region = eps_region
+        self.eps_cutoff = eps_cutoff
+        self.dim = prior.dim if prior is not None else None
+        self.partition = None
+        # vectorised evaluation data
+        self._tr_obj = traceable_objective
+        self._keys = keys          # stacked frozen keys, one per region
+        self._local_coeffs = None if local_coeffs is None else \
+            jnp.asarray(np.stack(local_coeffs))
+
+    # -- vectorised objective over regions ------------------------------------
+    def _distances_traceable(self, theta):
+        """theta (D,) -> distances under every region's objective (R,)."""
+        if self._local_coeffs is not None:
+            feats = _quad_features(theta[None])[0]
+            return self._local_coeffs @ feats
+        return jax.vmap(lambda k: self._tr_obj(theta, k))(self._keys)
+
+    def _indicator_counts(self, thetas):
+        """(n, D) -> number of regions accepting each point."""
+        eps = jnp.float32(self.eps_cutoff)
+
+        @jax.jit
+        def count(ts):
+            def one(t):
+                d = self._distances_traceable(t)
+                return jnp.sum(d <= eps)
+            return jax.vmap(one)(ts)
+
+        return np.asarray(count(jnp.asarray(thetas, jnp.float32)))
+
+    # -- pdf -----------------------------------------------------------------------
+    def pdf_unnorm_batched(self, theta):
+        theta = np.atleast_2d(np.asarray(theta, np.float32))
+        pr = np.asarray(self.prior.pdf(theta)).ravel()
+        counts = self._indicator_counts(theta)
+        if self.surrogate_used:
+            inside = np.array([[r.contains(t) for r in self.regions]
+                               for t in theta])
+            d = np.stack([np.asarray(self._distances_traceable(
+                jnp.asarray(t, jnp.float32))) for t in theta])
+            counts = np.sum(inside & (d <= self.eps_cutoff), axis=1)
+        return pr * counts
+
+    def _approximate_partition(self, nof_points=30):
+        assert self.dim <= 2, "partition approximation only for dim <= 2"
+        grids = [np.linspace(self.left_lim[i], self.right_lim[i], nof_points)
+                 for i in range(self.dim)]
+        mesh = np.stack(np.meshgrid(*grids), -1).reshape(-1, self.dim)
+        vol = np.prod((np.asarray(self.right_lim)
+                       - np.asarray(self.left_lim)) / nof_points)
+        self.partition = float(np.sum(self.pdf_unnorm_batched(mesh) * vol))
+        return self.partition
+
+    def pdf(self, theta):
+        if self.partition is None:
+            self._approximate_partition()
+        return self.pdf_unnorm_batched(theta) / self.partition
+
+    def reset_eps_cutoff(self, eps_cutoff):
+        self.eps_cutoff = eps_cutoff
+        self.partition = None
+
+    # -- sampling --------------------------------------------------------------------
+    def sample(self, n2, seed=None, key=None):
+        """n2 importance samples per region, fully vectorised.
+
+        Returns (thetas (R, n2, D), weights (R, n2), distances (R*n2,)).
+        """
+        if key is None:
+            key = jax.random.key(seed if seed is not None
+                                 else np.random.randint(2**31))
+        R = len(self.regions)
+        rot = jnp.asarray(np.stack([r.rotation for r in self.regions]),
+                          jnp.float32)
+        center = jnp.asarray(np.stack([r.center for r in self.regions]),
+                             jnp.float32)
+        lims = jnp.asarray(np.stack([r.limits for r in self.regions]),
+                           jnp.float32)
+        vols = jnp.asarray([r.volume for r in self.regions], jnp.float32)
+
+        u = jax.random.uniform(key, (R, n2, self.dim))
+        box = lims[:, None, :, 0] + u * (lims[:, None, :, 1]
+                                         - lims[:, None, :, 0])
+        thetas = jnp.einsum("rij,rnj->rni", rot, box) + center[:, None, :]
+
+        eps = jnp.float32(self.eps_cutoff)
+
+        if self._local_coeffs is not None:
+            def dist_one(r_idx, t):
+                feats = _quad_features(t[None])[0]
+                return self._local_coeffs[r_idx] @ feats
+            dists = jax.vmap(lambda r_idx, ts: jax.vmap(
+                lambda t: dist_one(r_idx, t))(ts))(jnp.arange(R), thetas)
+        else:
+            dists = jax.vmap(lambda k, ts: jax.vmap(
+                lambda t: self._tr_obj(t, k))(ts))(self._keys, thetas)
+
+        flat = thetas.reshape(-1, self.dim)
+        pr = jnp.asarray(self.prior.pdf(np.asarray(flat))).reshape(R, n2)
+        ind = (dists < eps).astype(jnp.float32)
+        w = ind * pr * vols[:, None]
+
+        return (np.asarray(thetas), np.asarray(w),
+                np.asarray(dists).flatten())
+
+    def compute_expectation(self, h, theta, w):
+        h_theta = h(theta)
+        return np.sum(h_theta * w) / np.sum(w)
+
+
+# ---------------------------------------------------------------------------
+# the inference method
+# ---------------------------------------------------------------------------
+
+class ROMC(ParameterInference):
+    """Robust Optimisation Monte Carlo (reference ``romc.py:424-1323``)."""
+
+    def __init__(self, model, bounds=None, discrepancy_name=None,
+                 output_names=None, custom_optim_class=None,
+                 parallelize=False, **kwargs):
+        model, discrepancy_name = self._resolve_model(model,
+                                                      discrepancy_name)
+        output_names = [discrepancy_name] + model.parameter_names + \
+            (output_names or [])
+        super().__init__(model, output_names, **kwargs)
+        self.discrepancy_name = discrepancy_name
+        self.model_prior = ModelPrior(self.model)
+        self.dim = self.model_prior.dim
+        self.bounds = bounds
+        self.left_lim = np.array([b[0] for b in bounds], float) \
+            if bounds is not None else None
+        self.right_lim = np.array([b[1] for b in bounds], float) \
+            if bounds is not None else None
+
+        self.inference_state = {
+            "_has_gen_nuisance": False, "_has_defined_problems": False,
+            "_has_solved_problems": False,
+            "_has_fitted_surrogate_model": False,
+            "_has_filtered_solutions": False,
+            "_has_fitted_local_models": False,
+            "_has_estimated_regions": False,
+            "_has_defined_posterior": False, "_has_drawn_samples": False,
+            "attempted": None, "solved": None, "accepted": None,
+            "computed_BB": None}
+        self.inference_args = {"parallelize": parallelize}
+        self.custom_optim_class = custom_optim_class
+        self.optim_problems = None
+        self.posterior = None
+        self.samples = None
+        self.weights = None
+        self.distances = None
+        self.result = None
+        self._objective = DeterministicObjective(
+            self.model, discrepancy_name, self.parameter_names)
+
+    # -- objectives ---------------------------------------------------------------
+    def _define_objectives(self, n1, seed=None):
+        nuisance = np.random.RandomState(seed).randint(
+            1, 2**31 - 1, size=n1)
+        self.inference_state["_has_gen_nuisance"] = True
+        self.inference_args["N1"] = n1
+        self.inference_args["initial_seed"] = seed
+
+        problems = []
+        for ind, nu in enumerate(nuisance):
+            host_obj = self._make_host_objective(int(nu))
+            cls = self.custom_optim_class or OptimisationProblem
+            prob = cls(ind=ind, nuisance=int(nu),
+                       parameter_names=self.parameter_names,
+                       target_name=self.discrepancy_name,
+                       objective=host_obj, dim=self.dim,
+                       prior=self.model_prior, n1=n1, bounds=self.bounds)
+            prob._traceable = self._objective
+            problems.append(prob)
+        self.optim_problems = problems
+        self.inference_state["_has_defined_problems"] = True
+
+    def _make_host_objective(self, nuisance):
+        key = jax.random.key(nuisance)
+        obj = self._objective
+
+        def host_obj(theta):
+            return float(np.asarray(obj(jnp.asarray(theta, jnp.float32),
+                                        key)))
+        return host_obj
+
+    # -- solving ------------------------------------------------------------------
+    def solve_problems(self, n1, use_bo=False, optimizer_args=None,
+                       seed=None):
+        """Define and solve the n1 deterministic problems (reference
+        ``romc.py:954-993``); the gradient path solves ALL problems in one
+        vmapped device program."""
+        optimizer_args = dict(optimizer_args or {})
+        optimizer_args.setdefault("seed", seed)
+        self._define_objectives(n1=n1, seed=seed)
+        if use_bo:
+            logger.info("Solving problems with Bayesian optimisation")
+            self._solve_bo(**optimizer_args)
+        else:
+            logger.info("Solving problems with vmapped autodiff descent")
+            self._solve_gradients(**optimizer_args)
+
+    def _solve_gradients(self, **kwargs):
+        n1 = self.inference_args["N1"]
+        seed = kwargs.get("seed") or 0
+        steps = kwargs.get("steps", 300)
+        lr = kwargs.get("lr", 0.1)
+        x0 = kwargs.get("x0")
+        if x0 is None:
+            x0 = np.asarray(self.model_prior.rvs(size=n1, seed=seed))
+        x0 = jnp.asarray(np.atleast_2d(x0), jnp.float32)
+        keys = jnp.stack([p.key for p in self.optim_problems])
+        lo, hi = _bounds_arrays(self.bounds, self.dim)
+        obj = self._objective
+
+        @jax.jit
+        def solve_all(keys, x0s):
+            def one(key, x0_):
+                x, f = _adam_minimize(lambda t: obj(t, key), x0_, steps, lr,
+                                      lo, hi)
+                h = jax.hessian(lambda t: obj(t, key))(x)
+                return x, f, h
+            return jax.vmap(one)(keys, x0s)
+
+        xs, fs, hs = solve_all(keys, x0)
+        xs, fs, hs = np.asarray(xs), np.asarray(fs), np.asarray(hs)
+        solved, attempted = [], []
+        for i, prob in enumerate(self.optim_problems):
+            attempted.append(True)
+            solved.append(prob.set_solution(xs[i], fs[i], hs[i],
+                                            np.asarray(x0[i])))
+        self.inference_state["solved"] = solved
+        self.inference_state["attempted"] = attempted
+        self.inference_state["_has_solved_problems"] = True
+
+    def _solve_bo(self, **kwargs):
+        pb = _ProgressBar()
+        solved, attempted = [], []
+        for i, prob in enumerate(self.optim_problems):
+            pb.update(i + 1, len(self.optim_problems))
+            attempted.append(True)
+            solved.append(prob.solve_bo(**kwargs))
+        pb.finish()
+        self.inference_state["attempted"] = attempted
+        self.inference_state["solved"] = solved
+        self.inference_state["_has_solved_problems"] = True
+        self.inference_state["_has_fitted_surrogate_model"] = True
+
+    # -- regions -------------------------------------------------------------------
+    def compute_eps(self, quantile):
+        assert self.inference_state["_has_solved_problems"]
+        dist = [p.result.f_min for p in self.optim_problems
+                if p.state["solved"]]
+        return float(np.quantile(dist, quantile))
+
+    def _filter_solutions(self, eps_filter):
+        solved = self.inference_state["solved"]
+        accepted = [bool(s and p.result.f_min < eps_filter)
+                    for s, p in zip(solved, self.optim_problems)]
+        self.inference_args["eps_filter"] = eps_filter
+        self.inference_state["accepted"] = accepted
+        self.inference_state["_has_filtered_solutions"] = True
+
+    def estimate_regions(self, eps_filter, use_surrogate=None,
+                         region_args=None, fit_models=False,
+                         fit_models_args=None, eps_region=None,
+                         eps_cutoff=None):
+        """Filter + build bounding boxes (+ local models) (reference
+        ``romc.py:994-1059``)."""
+        assert self.inference_state["_has_solved_problems"], \
+            "Solve the optimisation problems first"
+        region_args = dict(region_args or {})
+        fit_models_args = dict(fit_models_args or {})
+        eps_cutoff = eps_cutoff if eps_cutoff is not None else eps_filter
+        eps_region = eps_region if eps_region is not None else eps_filter
+        if use_surrogate is None:
+            use_surrogate = self.inference_state[
+                "_has_fitted_surrogate_model"]
+        region_args.setdefault("use_surrogate", use_surrogate)
+        region_args.setdefault("eps_region", eps_region)
+        self.inference_args["eps_region"] = eps_region
+        self.inference_args["eps_cutoff"] = eps_cutoff
+
+        self._filter_solutions(eps_filter)
+        accepted = self.inference_state["accepted"]
+        computed_bb = []
+        for i, prob in enumerate(self.optim_problems):
+            if accepted[i]:
+                computed_bb.append(prob.build_region(**region_args))
+            else:
+                computed_bb.append(False)
+        self.inference_state["computed_BB"] = computed_bb
+        self.inference_state["_has_estimated_regions"] = True
+
+        if fit_models:
+            for i, prob in enumerate(self.optim_problems):
+                if accepted[i]:
+                    prob.fit_local_surrogate(**fit_models_args)
+            self.inference_state["_has_fitted_local_models"] = True
+
+        self._define_posterior(eps_cutoff=eps_cutoff)
+
+    def _define_posterior(self, eps_cutoff):
+        use_surrogate = self.inference_state["_has_fitted_surrogate_model"]
+        use_local = self.inference_state["_has_fitted_local_models"]
+        regions, objectives, actual, nuisance, keys, coeffs = \
+            [], [], [], [], [], []
+        for prob in self.optim_problems:
+            if prob.state["region"]:
+                for jj, region in enumerate(prob.regions):
+                    nuisance.append(prob.nuisance)
+                    keys.append(prob.key)
+                    regions.append(region)
+                    actual.append(prob.objective)
+                    if use_local:
+                        objectives.append(prob.local_surrogates[jj])
+                        coeffs.append(prob._local_coeffs[jj])
+                    elif use_surrogate:
+                        objectives.append(prob.surrogate)
+                    else:
+                        objectives.append(prob.objective)
+        self.posterior = RomcPosterior(
+            regions, objectives, actual, None, None, nuisance,
+            use_local or use_surrogate, self.model_prior, self.left_lim,
+            self.right_lim, self.inference_args["eps_filter"],
+            self.inference_args["eps_region"], eps_cutoff,
+            self.inference_args["parallelize"],
+            traceable_objective=self._objective,
+            keys=jnp.stack(keys) if keys else None,
+            local_coeffs=coeffs if use_local else None)
+        self.inference_state["_has_defined_posterior"] = True
+
+    # -- one-call training ------------------------------------------------------------
+    def fit_posterior(self, n1, eps_filter, use_bo=False, quantile=None,
+                      optimizer_args=None, region_args=None,
+                      fit_models=False, fit_models_args=None, seed=None,
+                      eps_region=None, eps_cutoff=None):
+        """solve + filter + regions in one call (reference
+        ``romc.py:898-952``)."""
+        self.solve_problems(n1=n1, use_bo=use_bo,
+                            optimizer_args=optimizer_args, seed=seed)
+        if eps_filter == "auto":
+            eps_filter = self.compute_eps(float(quantile))
+        self.estimate_regions(eps_filter=float(eps_filter),
+                              use_surrogate=use_bo, region_args=region_args,
+                              fit_models=fit_models,
+                              fit_models_args=fit_models_args,
+                              eps_region=eps_region, eps_cutoff=eps_cutoff)
+
+    # -- inference ---------------------------------------------------------------------
+    def sample(self, n2, seed=None):
+        assert self.inference_state["_has_defined_posterior"], \
+            "You must train first"
+        self.samples, self.weights, self.distances = \
+            self.posterior.sample(n2, seed=seed)
+        self.inference_state["_has_drawn_samples"] = True
+        self.result = self.extract_result()
+        return self.result
+
+    def eval_unnorm_posterior(self, theta):
+        assert self.inference_state["_has_defined_posterior"]
+        return self.posterior.pdf_unnorm_batched(np.atleast_2d(theta))
+
+    def eval_posterior(self, theta):
+        assert self.inference_state["_has_defined_posterior"]
+        assert self.bounds is not None, \
+            "bounds are needed to approximate the partition function"
+        return self.posterior.pdf(np.atleast_2d(theta))
+
+    def compute_expectation(self, h):
+        assert self.inference_state["_has_drawn_samples"]
+        return self.posterior.compute_expectation(h, self.samples,
+                                                  self.weights)
+
+    def compute_ess(self):
+        assert self.inference_state["_has_drawn_samples"]
+        return compute_ess(self.result.weights)
+
+    def compute_divergence(self, gt_posterior, bounds=None, step=0.1,
+                           distance="Jensen-Shannon"):
+        """Grid divergence to a ground-truth posterior (reference
+        ``romc.py:1169-1242``)."""
+        import scipy.stats as ss
+        from scipy import spatial
+        assert self.inference_state["_has_defined_posterior"]
+        assert distance in ("Jensen-Shannon", "KL-Divergence")
+        limits = bounds or self.bounds
+        dim = len(limits)
+        if dim > 2:
+            logger.info("divergence approximation intractable for dim > 2")
+            return None
+        grids = [np.linspace(b[0], b[1], int((b[1] - b[0]) / step))
+                 for b in limits]
+        mesh = np.stack(np.meshgrid(*grids), -1).reshape(-1, dim)
+        p_points = np.squeeze(self.eval_posterior(mesh))
+        q_points = np.squeeze(gt_posterior(mesh))
+        if distance == "KL-Divergence":
+            return ss.entropy(p_points, q_points)
+        return spatial.distance.jensenshannon(p_points, q_points)
+
+    def extract_result(self):
+        if self.samples is None:
+            raise ValueError("Nothing to extract")
+        outputs = {}
+        for i, name in enumerate(self.model.parameter_names):
+            outputs[name] = self.samples[:, :, i].flatten()
+        outputs[self.discrepancy_name] = self.distances.flatten()
+        return RomcSample(method_name="ROMC", outputs=outputs,
+                          parameter_names=self.model.parameter_names,
+                          discrepancy_name=self.discrepancy_name,
+                          weights=self.weights.flatten())
+
+    # -- inspection -----------------------------------------------------------------------
+    def visualize_region(self, i, force_objective=False, savefig=False):
+        samples = None
+        if self.samples is not None:
+            k = sum(1 for j in range(i)
+                    if self.optim_problems[j].state["region"])
+            samples = self.samples[k]
+        self.optim_problems[i].visualize_region(force_objective, samples,
+                                                savefig)
+
+    def distance_hist(self, savefig=False, **kwargs):
+        import matplotlib.pyplot as plt
+        assert self.inference_state["_has_solved_problems"]
+        dist = [max(p.result.f_min, 0) for p in self.optim_problems
+                if p.state["solved"]]
+        plt.figure()
+        plt.hist(dist, **kwargs)
+        if savefig:
+            plt.savefig(savefig, bbox_inches="tight")

@@ -1,0 +1,107 @@
+"""ROMC end-to-end tests on a 1D conjugate-style Gaussian example
+(mirrors the reference's ``tests/functional/test_romc.py`` setup)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import elfi_tpu as elfi
+
+
+def build_gauss_1d(seed_obs=1):
+    """theta ~ U(-2.5, 2.5); data ~ N(theta, 1); summary = mean."""
+    m = elfi.Model(name="romc_gauss")
+    elfi.Prior("uniform", -2.5, 5.0, model=m, name="theta")
+
+    def sim(theta, batch_size, key):
+        return theta[:, None] + jax.random.normal(key, (batch_size, 5))
+
+    y = np.asarray(sim(jnp.asarray([1.0]), 1, jax.random.key(seed_obs)))[0]
+    elfi.Simulator(sim, m["theta"], observed=y, model=m, name="sim")
+    elfi.Summary(lambda x: jnp.mean(x, axis=1), m["sim"], model=m, name="S")
+    elfi.Distance("euclidean", m["S"], model=m, name="d")
+    return m, float(np.mean(y))
+
+
+@pytest.fixture(scope="module")
+def romc_fitted():
+    m, obs_mean = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=3)
+    romc.solve_problems(n1=30, seed=7)
+    # objectives are SQUARED distances; with exact autodiff optima the
+    # f_min quantile degenerates to ~0, so use an explicit threshold as in
+    # the reference's own tests (eps=.75 there)
+    romc.estimate_regions(eps_filter=0.2)
+    return romc, obs_mean
+
+
+def test_solve_problems(romc_fitted):
+    romc, _ = romc_fitted
+    assert sum(romc.inference_state["solved"]) >= 25
+    f_mins = [p.result.f_min for p in romc.optim_problems
+              if p.state["solved"]]
+    # exact autodiff optimisation: squared distances at optimum ~ 0
+    assert np.median(f_mins) < 1e-3
+
+
+def test_regions(romc_fitted):
+    romc, _ = romc_fitted
+    n_regions = len(romc.posterior.regions)
+    assert n_regions >= 20
+    for region in romc.posterior.regions[:5]:
+        assert region.volume > 0
+        assert region.contains(region.center)
+
+
+def test_sampling_posterior_mean(romc_fitted):
+    romc, obs_mean = romc_fitted
+    res = romc.sample(n2=50, seed=5)
+    assert res.n_samples == len(romc.posterior.regions) * 50
+    w = res.weights
+    assert np.sum(w) > 0
+    post_mean = np.sum(res.samples["theta"] * w) / np.sum(w)
+    # posterior of theta | mean(y) concentrates near the observed mean
+    assert abs(post_mean - obs_mean) < 0.5
+    ess = romc.compute_ess()
+    assert ess > 10
+
+
+def test_eval_posterior(romc_fitted):
+    romc, obs_mean = romc_fitted
+    theta = np.linspace(-2.4, 2.4, 25)[:, None]
+    pdf = romc.eval_posterior(theta)
+    assert np.all(pdf >= 0)
+    # normalized: grid-integral close to 1
+    integral = np.sum(pdf) * (theta[1, 0] - theta[0, 0])
+    assert 0.6 < integral < 1.4
+    # highest density near the observed mean
+    assert abs(theta[np.argmax(pdf), 0] - obs_mean) < 0.6
+
+
+def test_expectation(romc_fitted):
+    romc, obs_mean = romc_fitted
+    romc.sample(n2=50, seed=5)
+    mean = romc.compute_expectation(lambda t: np.squeeze(t, -1))
+    assert abs(mean - obs_mean) < 0.5
+
+
+def test_local_surrogates():
+    m, obs_mean = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=3)
+    romc.fit_posterior(n1=15, eps_filter=0.2, seed=7, fit_models=True)
+    res = romc.sample(n2=30, seed=4)
+    w = res.weights
+    post_mean = np.sum(res.samples["theta"] * w) / np.sum(w)
+    assert abs(post_mean - obs_mean) < 0.6
+
+
+def test_romc_2d(ma2):
+    romc = elfi.ROMC(ma2["d"], bounds=[(-2, 2), (-1, 1)], seed=1)
+    romc.solve_problems(n1=20, seed=2)
+    assert romc.compute_eps(quantile=0.9) < 0.1  # exact optima
+    romc.estimate_regions(eps_filter=0.05)
+    res = romc.sample(n2=20, seed=3)
+    assert res.samples["t1"].shape == (len(romc.posterior.regions) * 20,)
+    assert np.sum(res.weights) > 0
