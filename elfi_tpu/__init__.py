@@ -28,6 +28,7 @@ from .methods import (BOLFI, BOLFIRE, BSL, ROMC, SMC, AdaptiveDistanceSMC,  # no
                       ParameterInference, Rejection, Sample, SmcSample)
 from .store import ArrayPool, OutputPool  # noqa: F401
 from .visualization import draw, nx_draw  # noqa: F401
+from .model import tools  # noqa: F401
 
 # Reference API alias: elfi.ElfiModel == elfi_tpu.Model
 ElfiModel = Model

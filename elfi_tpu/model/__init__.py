@@ -3,3 +3,4 @@ from .model import (AdaptiveDistance, ComputationContext, Constant,  # noqa: F40
                     Prior, RandomVariable, Simulator, Summary,
                     get_default_model, new_model, set_default_model)
 from .extensions import ModelPrior, ScipyLikeDistribution  # noqa: F401
+from . import tools  # noqa: F401

@@ -275,6 +275,15 @@ class NodeReference:
                                   with_values=with_values, seed=seed)
         return out[self.name]
 
+    @property
+    def uses_meta(self):
+        return self.state.get("uses_meta", False)
+
+    @uses_meta.setter
+    def uses_meta(self, value):
+        self.model.dag.update_state(self.name, uses_meta=bool(value))
+        self.model._invalidate_cache()
+
     def become(self, other):
         """Replace this node with another node's state/parents in place
         (reference ``elfi_model.py:658-700``)."""
@@ -315,6 +324,7 @@ class Operation(NodeReference):
 
     def __init__(self, fn, *parents, stochastic=False, uses_batch_size=False,
                  uses_meta=False, host=False, **kwargs):
+        host = host or getattr(fn, "_elfi_host", False)
         state = {"op": fn, "stochastic": stochastic,
                  "uses_batch_size": uses_batch_size, "uses_meta": uses_meta,
                  "host": host}
@@ -355,6 +365,7 @@ class Simulator(NodeReference):
     kind = "simulator"
 
     def __init__(self, fn, *params, observed=None, host=False, **kwargs):
+        host = host or getattr(fn, "_elfi_host", False)
         state = {"op": fn, "stochastic": True, "observable": True,
                  "uses_batch_size": True, "host": host}
         super().__init__(*params, state=state, **kwargs)
@@ -372,6 +383,7 @@ class Summary(NodeReference):
     kind = "summary"
 
     def __init__(self, fn, *parents, host=False, **kwargs):
+        host = host or getattr(fn, "_elfi_host", False)
         state = {"op": fn, "observable": True, "host": host}
         super().__init__(*parents, state=state, **kwargs)
 
@@ -382,6 +394,7 @@ class Discrepancy(NodeReference):
     kind = "discrepancy"
 
     def __init__(self, fn, *parents, host=False, **kwargs):
+        host = host or getattr(fn, "_elfi_host", False)
         state = {"op": fn, "uses_observed": True, "host": host}
         super().__init__(*parents, state=state, **kwargs)
 
