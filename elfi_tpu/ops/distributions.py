@@ -26,14 +26,17 @@ from jax.scipy import special as jsp
 
 __all__ = [
     "Distribution", "uniform", "norm", "truncnorm", "multivariate_normal",
-    "lognorm", "expon", "gamma", "beta", "binom", "poisson",
+    "lognorm", "expon", "gamma", "beta", "binom", "poisson", "levy_stable",
     "from_name",
 ]
 
 
 def _draw_shape(size, *params):
-    """Result shape for a univariate draw of ``size`` with given params."""
+    """Result shape for a univariate draw of ``size`` with given params.
+    ``size`` may be an int (batch length) or an explicit shape tuple."""
     b = jnp.broadcast_shapes(*[jnp.shape(p) for p in params]) if params else ()
+    if isinstance(size, (tuple, list)):
+        return jnp.broadcast_shapes(tuple(size), b)
     if b == ():
         return (size,)
     if b[0] == size:
@@ -274,9 +277,34 @@ class poisson(Distribution):
         return x * jnp.log(mu) - mu - jsp.gammaln(x + 1)
 
 
+class levy_stable(Distribution):
+    """Alpha-stable distribution sampled with the Chambers-Mallows-Stuck
+    transform (S0 parameterization, matching scipy's ``levy_stable`` with
+    ``parameterization='S0'``).  No closed-form pdf; rvs only."""
+    name = "levy_stable"
+
+    @classmethod
+    def rvs(cls, alpha, beta=0.0, loc=0.0, scale=1.0, size=1, key=None):
+        k1, k2 = jax.random.split(key)
+        shape = _draw_shape(size, alpha, beta, loc, scale)
+        alpha = jnp.asarray(alpha, jnp.float32)
+        beta = jnp.asarray(beta, jnp.float32)
+        U = jax.random.uniform(k1, shape, minval=-jnp.pi / 2 + 1e-6,
+                               maxval=jnp.pi / 2 - 1e-6)
+        W = jax.random.exponential(k2, shape)
+        tan_term = beta * jnp.tan(jnp.pi * alpha / 2)
+        B = jnp.arctan(tan_term) / alpha
+        S = (1 + tan_term ** 2) ** (1 / (2 * alpha))
+        x1 = (S * jnp.sin(alpha * (U + B)) / jnp.cos(U) ** (1 / alpha)
+              * (jnp.cos(U - alpha * (U + B)) / W) ** ((1 - alpha) / alpha))
+        # S1 -> S0 shift so that loc is the S0 location parameter
+        x0 = x1 - tan_term
+        return loc + scale * x0
+
+
 _REGISTRY = {d.name: d for d in
              [uniform, norm, truncnorm, multivariate_normal, lognorm, expon,
-              gamma, beta, binom, poisson]}
+              gamma, beta, binom, poisson, levy_stable]}
 _REGISTRY["normal"] = norm
 _REGISTRY["exponential"] = expon
 
