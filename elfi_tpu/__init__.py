@@ -29,6 +29,9 @@ from .methods import (BOLFI, BOLFIRE, BSL, ROMC, SMC, AdaptiveDistanceSMC,  # no
 from .store import ArrayPool, OutputPool  # noqa: F401
 from .visualization import draw, nx_draw  # noqa: F401
 from .model import tools  # noqa: F401
+from .methods import (LinearAdjustment, TwoStageSelection,  # noqa: F401
+                      adjust_posterior, compare_models)
+from .testbench import Testbench, TestbenchMethod  # noqa: F401
 
 # Reference API alias: elfi.ElfiModel == elfi_tpu.Model
 ElfiModel = Model

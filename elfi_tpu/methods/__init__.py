@@ -14,3 +14,6 @@ from .bsl import BSL  # noqa: F401
 from .bolfire import BOLFIRE  # noqa: F401
 from .classifier import GPClassifier, LogisticRegression  # noqa: F401
 from .romc import ROMC, NDimBoundingBox, OptimisationProblem, RomcPosterior  # noqa: F401
+from .post_processing import LinearAdjustment, adjust_posterior  # noqa: F401
+from .model_selection import compare_models  # noqa: F401
+from .diagnostics import TwoStageSelection  # noqa: F401
