@@ -48,8 +48,10 @@ def set_client(client=None, **kwargs):
     ('native' | 'sharded' | 'multiprocessing')."""
     global _client
     if isinstance(client, str):
+        from .multihost import MultihostBackend
         mapping = {"native": NativeBackend, "sharded": ShardedBackend,
-                   "multiprocessing": MultiprocessingBackend}
+                   "multiprocessing": MultiprocessingBackend,
+                   "multihost": MultihostBackend}
         if client in mapping:
             client = mapping[client](**kwargs)
         else:  # entry-point style module with Client attribute

@@ -30,7 +30,10 @@ class BatchHandler:
         self.output_names = tuple(output_names)
         self.client = client or get_client()
         self._pending = OrderedDict()   # batch_index -> task_id
+        self._submitted_args = {}       # batch_index -> (program, overrides)
         self.next_index = 0
+        from ..utils.profiling import Timers
+        self.timers = Timers()
 
     @property
     def num_pending(self):
@@ -71,21 +74,45 @@ class BatchHandler:
                 batch.setdefault(k, v)
         program = compile_program(self.model, self.output_names,
                                   override_names=tuple(sorted(batch)))
-        tid = self.client.submit(program, self.context.seed, index, batch,
-                                 self.context.batch_size)
+        with self.timers.time("submit"):
+            tid = self.client.submit(program, self.context.seed, index,
+                                     batch, self.context.batch_size)
         self._pending[index] = tid
+        self._submitted_args[index] = (program, batch)
         self.next_index += 1
         self.context.num_submissions = max(self.context.num_submissions,
                                            self.next_index)
         return index
 
-    def wait_next(self):
+    def wait_next(self, max_retries=2):
         """Block for the OLDEST pending batch (in-order consumption,
-        reference ``client.py:172-182``)."""
+        reference ``client.py:172-182``).
+
+        Failure recovery: the counter-based RNG makes every batch index
+        replayable by construction, so a failed batch is deterministically
+        resubmitted up to ``max_retries`` times (the reference has no retry
+        path, SURVEY.md §5)."""
         if not self._pending:
             raise ValueError("Cannot wait for a batch, no batches are pending")
         index, tid = self._pending.popitem(last=False)
-        batch = self.client.get_result(tid)
+        batch = None
+        last_err = None
+        with self.timers.time("wait"):
+            for attempt in range(max_retries + 1):
+                try:
+                    batch = self.client.get_result(tid)
+                    break
+                except Exception as e:  # deterministic replay of the index
+                    last_err = e
+                    if attempt == max_retries:
+                        raise RuntimeError(
+                            f"Batch {index} failed after {max_retries} "
+                            f"retries: {e}") from e
+                    program, overrides = self._submitted_args[index]
+                    tid = self.client.submit(program, self.context.seed,
+                                             index, overrides,
+                                             self.context.batch_size)
+        self._submitted_args.pop(index, None)
         self.context.callback(batch, index)
         return batch, index
 
@@ -105,8 +132,9 @@ class BatchHandler:
         if not self._pending:
             return
         first = next(iter(self._pending))
-        for tid in self._pending.values():
+        for idx, tid in self._pending.items():
             self.client.remove_task(tid)
+            self._submitted_args.pop(idx, None)
         self._pending.clear()
         self.next_index = first
 

@@ -31,3 +31,5 @@ def is_array(x):
 
 def observed_name(name):
     return f"_{name}_observed"
+
+from . import profiling  # noqa: F401,E402

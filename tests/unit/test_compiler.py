@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import elfi_tpu as elfi
+from elfi_tpu.compile.compiler import compile_program
+
+
+def test_reduce_to_needed_nodes(ma2):
+    prog = compile_program(ma2, ("S1",))
+    assert "d" not in prog.order
+    assert "S2" not in prog.order
+    assert set(prog.order) >= {"t1", "t2", "MA2", "S1"}
+
+
+def test_override_skips_ancestors(ma2):
+    prog = compile_program(ma2, ("d",), override_names=("S1", "S2"))
+    # simulator and priors are not needed when summaries are overridden
+    assert "MA2" not in prog.order
+    assert "t1" not in prog.order
+
+
+def test_observed_values_cached(ma2):
+    prog = compile_program(ma2, ("d",))
+    v1 = prog.observed_value("S1")
+    v2 = prog.observed_value("S1")
+    assert v1 is v2
+    assert np.asarray(v1).shape == (1,)
+
+
+def test_program_cache_invalidation(ma2):
+    p1 = compile_program(ma2, ("d",))
+    p2 = compile_program(ma2, ("d",))
+    assert p1 is p2
+    ma2.update_node("d", dummy=1)
+    p3 = compile_program(ma2, ("d",))
+    assert p3 is not p1
+
+
+def test_meta_injection():
+    m = elfi.Model()
+    elfi.Prior("uniform", 0, 1, model=m, name="p")
+
+    def op(p, meta):
+        return p + 0.0 * meta["batch_index"]
+
+    elfi.Operation(op, m["p"], uses_meta=True, model=m, name="with_meta")
+    out = m.generate(batch_size=3, outputs=["with_meta"])
+    assert out["with_meta"].shape == (3,)
+
+
+def test_batch_index_changes_draws(ma2):
+    prog = compile_program(ma2, ("t1",))
+    key = jax.random.key(0)
+    a = prog.run(key, 0, {}, batch_size=5)["t1"]
+    b = prog.run(key, 1, {}, batch_size=5)["t1"]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_host_flag_detection():
+    m = elfi.Model()
+    elfi.Prior("uniform", 0, 1, model=m, name="p")
+
+    def host_sim(p, batch_size, random_state):
+        return random_state.rand(batch_size, 3) + np.asarray(p)[:, None]
+
+    elfi.Simulator(host_sim, m["p"], host=True, observed=np.zeros(3),
+                   model=m, name="sim")
+    prog = compile_program(m, ("sim",))
+    assert prog.host
+    out = m.generate(batch_size=4, outputs=["sim"], seed=1)
+    assert out["sim"].shape == (4, 3)
+    # determinism on host path too
+    out2 = m.generate(batch_size=4, outputs=["sim"], seed=1)
+    np.testing.assert_array_equal(out["sim"], out2["sim"])
+
+
+def test_serialization_roundtrip(ma2, tmp_path):
+    import pickle
+    prog = compile_program(ma2, ("d",))
+    prog.run(jax.random.key(0), 0, {}, batch_size=4)  # warm caches
+    blob = pickle.dumps(prog)
+    prog2 = pickle.loads(blob)
+    a = prog.run(jax.random.key(3), 0, {}, batch_size=4)["d"]
+    b = prog2.run(jax.random.key(3), 0, {}, batch_size=4)["d"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
