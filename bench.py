@@ -19,6 +19,52 @@ import numpy as np
 BASELINE_SIMS_PER_S = 254_000
 
 
+def _bench_bolfi_ricker():
+    """North-star #2: BOLFI to posterior on Ricker, target < 60 s
+    (fused device BO loop + vmapped NUTS; priors match surrogate bounds as
+    in the reference BOLFI recipe)."""
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models.ricker import (chi_squared, num_zeros,
+                                        stochastic_ricker)
+
+    sim = partial(stochastic_ricker, n_obs=50)
+    y_obs = np.asarray(sim(jnp.asarray([3.8]), jnp.asarray([0.3]),
+                           jnp.asarray([10.0]), batch_size=1,
+                           key=jax.random.key(4)))[0]
+    m = elfi.Model(name="ricker_bolfi")
+    elfi.Prior("uniform", 3, 2, model=m, name="t1")
+    elfi.Prior("uniform", 0.05, 0.75, model=m, name="t2")
+    elfi.Prior("uniform", 4, 12, model=m, name="t3")
+    elfi.Simulator(sim, m["t1"], m["t2"], m["t3"], observed=y_obs, model=m,
+                   name="Ricker")
+    s1 = elfi.Summary(lambda x: jnp.mean(x, axis=1), m["Ricker"], model=m,
+                      name="Mean")
+    s2 = elfi.Summary(lambda x: jnp.var(x, axis=1), m["Ricker"], model=m,
+                      name="Var")
+    s3 = elfi.Summary(num_zeros, m["Ricker"], model=m, name="n0")
+    elfi.Discrepancy(chi_squared, s1, s2, s3, model=m, name="d")
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
+
+    t0 = time.perf_counter()
+    bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=30,
+                       update_interval=10,
+                       bounds={"t1": (3, 5), "t2": (0.05, 0.8),
+                               "t3": (4, 16)},
+                       acq_noise_var=0.05, seed=1)
+    bolfi.fit(n_evidence=150, bar=False)
+    res = bolfi.sample(1000, n_chains=4, bar=False)
+    wall = time.perf_counter() - t0
+    means = {k: round(float(np.ravel(v)[0]), 3)
+             for k, v in res.sample_means.items()}
+    return round(wall, 2), means
+
+
 def main():
     import jax
     try:
@@ -47,12 +93,16 @@ def main():
     wall = time.perf_counter() - t0
 
     sims_per_s = n_sim / wall
+    bolfi_s, bolfi_means = _bench_bolfi_ricker()
     result = {
         "metric": "MA2 rejection-ABC simulations/sec/chip",
         "value": round(sims_per_s, 1),
         "unit": "sims/s",
         "vs_baseline": round(sims_per_s / BASELINE_SIMS_PER_S, 2),
         "detail": {
+            "bolfi_ricker_total_s": bolfi_s,
+            "bolfi_ricker_posterior_means": bolfi_means,
+            "bolfi_ricker_target_s": 60.0,
             "n_sim": n_sim,
             "wall_s": round(wall, 3),
             "batch_size": batch_size,

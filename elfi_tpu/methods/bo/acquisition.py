@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from ...ops import special
 from ...ops.distributions import truncnorm
-from .utils import CostFunction, minimize
+from .gp import gp_neg_lcb_obj
+from .utils import CostFunction, minimize, minimize_traced
 
 __all__ = ["AcquisitionBase", "LCBSC", "MaxVar", "RandMaxVar", "ExpIntVar",
            "UniformAcquisition"]
@@ -63,21 +64,42 @@ class AcquisitionBase:
 
     def acquire(self, n, t=None):
         """Optimize the acquisition and return n (noise-jittered) copies of
-        the minimizer (reference ``acquisition.py:129-172``)."""
-        def obj(x):
-            return self.evaluate(x, t)
+        the minimizer (reference ``acquisition.py:129-172``).
 
-        def grad_obj(x):
-            return self.evaluate_gradient(x, t)
+        When the rule exposes a traceable objective (``_traced``), ALL
+        restarts run as one jitted device program (one dispatch instead of
+        hundreds of host<->device transfers); otherwise falls back to the
+        reference-style scipy multistart."""
+        traced = self._traced(t)
+        if traced is not None and self.constraints is None:
+            obj, args = traced
+            self._acq_count += 1
+            key = jax.random.fold_in(jax.random.key(self.seed),
+                                     self._acq_count)
+            xhat, _ = minimize_traced(obj, self.model.bounds, args=args,
+                                      n_starts=self.n_inits,
+                                      steps=min(self.max_opt_iters, 200),
+                                      key=key)
+        else:
+            def obj(x):
+                return self.evaluate(x, t)
 
-        xhat, _ = minimize(
-            obj, self.model.bounds,
-            method="L-BFGS-B" if self.constraints is None else "SLSQP",
-            constraints=self.constraints, grad=grad_obj, prior=self.prior,
-            n_start_points=self.n_inits, maxiter=self.max_opt_iters,
-            random_state=self.random_state)
-        x = np.tile(xhat, (n, 1))
+            def grad_obj(x):
+                return self.evaluate_gradient(x, t)
+
+            xhat, _ = minimize(
+                obj, self.model.bounds,
+                method="L-BFGS-B" if self.constraints is None else "SLSQP",
+                constraints=self.constraints, grad=grad_obj,
+                prior=self.prior, n_start_points=self.n_inits,
+                maxiter=self.max_opt_iters,
+                random_state=self.random_state)
+        x = np.tile(np.asarray(xhat), (n, 1))
         return self._add_noise(x)
+
+    def _traced(self, t):
+        """Return (stable_traceable_obj, args) or None (host fallback)."""
+        return None
 
     def _add_noise(self, x):
         """Truncated-normal jitter within bounds (reference
@@ -144,6 +166,27 @@ class LCBSC(AcquisitionBase):
         if self.additive_cost is not None:
             value = value + self.additive_cost.evaluate_gradient(x)
         return value
+
+    def _traced(self, t):
+        factor = getattr(self.model, "_factor", None)
+        if factor is None:
+            return None
+        Xp, mask, L, alpha, params = factor
+        beta = jnp.float32(self._beta(t))
+        if self.additive_cost is None:
+            return gp_neg_lcb_obj, (Xp, mask, L, alpha, params, beta)
+        cost_tr = getattr(self.additive_cost, "traceable", None)
+        if cost_tr is None:
+            return None
+        if getattr(self, "_combined_obj", None) is None:
+            scale = self.additive_cost.scale
+
+            def combined(theta, X, m, Lf, a, p, b):
+                return gp_neg_lcb_obj(theta, X, m, Lf, a, p, b) \
+                    + scale * cost_tr(theta)
+
+            self._combined_obj = combined
+        return self._combined_obj, (Xp, mask, L, alpha, params, beta)
 
 
 class MaxVar(AcquisitionBase):

@@ -129,10 +129,60 @@ _grads_noisy = _grad_fn(False)
 _grads_noiseless = _grad_fn(True)
 
 
+def gp_mean_obj(theta, X, mask, L, alpha, params):
+    """Stable traceable objective: GP posterior mean at a single point
+    (for device-side multistart minimization)."""
+    mu, _ = _predict(theta[None], X, mask, L, alpha, params)
+    return mu[0]
+
+
+def gp_neg_lcb_obj(theta, X, mask, L, alpha, params, beta):
+    """Stable traceable LCB objective mean - sqrt(beta * var)."""
+    mu, var = _predict_noiseless(theta[None], X, mask, L, alpha, params)
+    return mu[0] - jnp.sqrt(beta * var[0])
+
+
+def log_noise_floor(y, mask=None):
+    """Lower bound for the log noise variance: 1% of the active-data
+    variance.  Full maximum-likelihood GPs on small BO evidence sets love
+    to collapse the noise to ~0, which turns the BOLFI posterior
+    Phi((h-mu)/sigma) into cliffs that stall NUTS; the reference never hits
+    this because GPy's scg stops after 50 iterations."""
+    if mask is None:
+        var = jnp.var(y)
+    else:
+        n = jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(y * mask) / n
+        var = jnp.sum(mask * (y - mean) ** 2) / n
+    return jnp.log(jnp.maximum(0.01 * var, 1e-8))
+
+
+def optimize_restarts_core(starts, X, y, mask, prior_shapes, lr,
+                           steps=250):
+    """All hyperparameter restarts as one vmapped Adam descent; plain
+    traceable so it can be embedded in fused BO loops."""
+    from .utils import adam_minimize
+
+    lo = jnp.full(4, -12.0).at[3].set(log_noise_floor(y, mask))
+
+    def one(u0):
+        return adam_minimize(
+            lambda u: _neg_log_posterior(u, X, y, mask, prior_shapes),
+            u0, steps, lr, lo, jnp.full(4, 12.0))
+
+    us, fs = jax.vmap(one)(starts)
+    fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+    i = jnp.argmin(fs)
+    return us[i], fs[i]
+
+
+_optimize_restarts = jax.jit(optimize_restarts_core)
+
+
 class GPRegression:
     """Drop-in equivalent of the reference ``GPyRegression``."""
 
-    def __init__(self, parameter_names=None, bounds=None, optimizer="lbfgsb",
+    def __init__(self, parameter_names=None, bounds=None, optimizer="adam",
                  max_opt_iters=50, gp=None, seed=0, **gp_params):
         if parameter_names is None:
             input_dim = 1
@@ -256,8 +306,14 @@ class GPRegression:
                         L, alpha, params)
 
     def optimize(self):
-        """MAP hyperparameters by multi-restart L-BFGS-B over log-params
-        (replaces GPy scg, ``gpy_regression.py:317-323``)."""
+        """MAP hyperparameters by multi-restart descent over log-params
+        (replaces GPy scg, ``gpy_regression.py:317-323``).
+
+        Default 'adam': ALL restarts run as one vmapped jitted device
+        program (one dispatch, one transfer).  'lbfgsb' keeps the scipy
+        host path with jitted value+grad calls."""
+        if self.optimizer not in ("lbfgsb", "lbfgs", "scg", "scipy"):
+            return self._optimize_adam()
         Xp, yp, mask = self._padded()
         Xp = Xp.astype(jnp.float32)
         yp = yp.astype(jnp.float32)
@@ -275,6 +331,8 @@ class GPRegression:
 
         u0 = np.log(np.asarray([self.params["sigma2"], self.params["ell"],
                                 self.params["bias"], self.params["noise"]]))
+        noise_floor = float(np.log(max(0.01 * np.var(self._y), 1e-8)))
+        opt_bounds = [(-12, 12)] * 3 + [(noise_floor, 12)]
         rng = np.random.RandomState(self.seed + self.n_evidence)
         starts = [u0] + [u0 + rng.normal(0, 1.0, size=4)
                          for _ in range(self._n_restarts - 1)]
@@ -282,7 +340,7 @@ class GPRegression:
         for s in starts:
             try:
                 r = scipy.optimize.minimize(
-                    obj, s, jac=True, method="L-BFGS-B",
+                    obj, s, jac=True, method="L-BFGS-B", bounds=opt_bounds,
                     options={"maxiter": self.max_opt_iters})
                 if np.isfinite(r.fun) and r.fun < best_val:
                     best, best_val = r.x, r.fun
@@ -290,6 +348,24 @@ class GPRegression:
                 continue
         self.params = dict(zip(("sigma2", "ell", "bias", "noise"),
                                np.exp(best).tolist()))
+        self._refactor()
+
+    def _optimize_adam(self):
+        Xp, yp, mask = self._padded()
+        u0 = np.log(np.asarray([self.params["sigma2"], self.params["ell"],
+                                self.params["bias"], self.params["noise"]],
+                               np.float32))
+        rng = np.random.RandomState(self.seed + self.n_evidence)
+        starts = np.vstack([u0] + [u0 + rng.normal(0, 1.0, 4)
+                                   for _ in range(self._n_restarts - 1)])
+        best, _ = _optimize_restarts(
+            jnp.asarray(starts, jnp.float32), Xp.astype(jnp.float32),
+            yp.astype(jnp.float32), mask.astype(jnp.float32),
+            jnp.asarray(self._prior_shapes, jnp.float32), jnp.float32(0.1))
+        vals = np.exp(np.asarray(best, np.float64))
+        if np.all(np.isfinite(vals)):
+            self.params = dict(zip(("sigma2", "ell", "bias", "noise"),
+                                   vals.tolist()))
         self._refactor()
 
     # -- prediction -------------------------------------------------------------------

@@ -110,9 +110,19 @@ class BayesianOptimization(ParameterInference):
         self.objective["n_sim"] = n_evidence - self.n_precomputed_evidence
 
     def extract_result(self):
-        x_min, _ = stochastic_optimization(self.target_model.predict_mean,
-                                           self.target_model.bounds,
-                                           seed=self.seed)
+        from .bo.gp import gp_mean_obj
+        from .bo.utils import minimize_traced
+        if getattr(self.target_model, "_factor", None) is not None:
+            import jax
+            Xp, mask, L, alpha, params = self.target_model._factor
+            x_min, _ = minimize_traced(gp_mean_obj, self.target_model.bounds,
+                                       args=(Xp, mask, L, alpha, params),
+                                       n_starts=20, steps=200,
+                                       key=jax.random.key(self.seed))
+        else:
+            x_min, _ = stochastic_optimization(
+                self.target_model.predict_mean, self.target_model.bounds,
+                seed=self.seed)
         batch_min = arr2d_to_batch(x_min[None],
                                    self.target_model.parameter_names)
         outputs = arr2d_to_batch(self.target_model.X,
@@ -191,14 +201,201 @@ class BOLFI(BayesianOptimization):
     """Bayesian Optimization for Likelihood-Free Inference
     (Gutmann & Corander 2016; reference ``bolfi.py:400-598``)."""
 
-    def fit(self, n_evidence, threshold=None, bar=True):
+    def fit(self, n_evidence, threshold=None, bar=True, fused=None):
         """Fit the GP surrogate to the discrepancy, then extract the
-        posterior (reference ``bolfi.py:417-440``)."""
+        posterior (reference ``bolfi.py:417-440``).
+
+        ``fused=True`` (auto-enabled when eligible) runs the ENTIRE
+        BO loop — LCB acquisition optimization, acquisition noise,
+        simulation at the acquired point, GP factor update, and periodic
+        hyperparameter refits — as one jitted ``lax.scan`` on device.
+        One compile, zero per-iteration host transfers; essential when
+        the device is attached over a high-latency link.
+        """
         logger.info("BOLFI: Fitting the surrogate model...")
         if n_evidence is None:
             raise ValueError("n_evidence must be specified")
-        self.infer(n_evidence, bar=bar)
+        if fused is None:
+            fused = self._fused_eligible()
+        if fused:
+            self._fused_fit(n_evidence)
+        else:
+            self.infer(n_evidence, bar=bar)
         return self.extract_posterior(threshold)
+
+    def _fused_eligible(self):
+        from ..compile.compiler import compile_program
+        from ..parallel.backends import NativeBackend
+        from .bo.acquisition import LCBSC
+        prog = compile_program(self.model,
+                               (self.target_name,),
+                               override_names=tuple(self.parameter_names))
+        return (self.pool is None
+                and self.batch_size == 1
+                and self.n_precomputed_evidence == 0
+                and isinstance(self.client, NativeBackend)
+                and type(self.acquisition_method) is LCBSC
+                and self.acquisition_method.additive_cost is None
+                and self.acquisition_method.constraints is None
+                and not prog.host
+                and self.state["n_evidence"] == 0)
+
+    def _fused_fit(self, n_evidence):
+        """One-program BO: scan over acquisitions with the GP state
+        (padded evidence buffers + log-hyperparams) as carry."""
+        import jax
+        import jax.numpy as jnp
+        from ..compile.compiler import compile_program
+        from .bo.gp import (_pad_cap, _posterior_factor, gp_neg_lcb_obj,
+                            optimize_restarts_core)
+        from .bo.utils import adam_minimize
+
+        gp = self.target_model
+        acq = self.acquisition_method
+        d = gp.input_dim
+        n_init = self.n_initial_evidence
+        n_total = int(n_evidence)
+        n_acq = n_total - n_init
+        cap = _pad_cap(n_total)
+        bounds = np.asarray(gp.bounds, np.float32)
+        lo, hi = jnp.asarray(bounds[:, 0]), jnp.asarray(bounds[:, 1])
+        noise_var = acq.noise_var
+        if noise_var is not None:
+            noise_std = jnp.sqrt(jnp.broadcast_to(
+                jnp.asarray(noise_var, jnp.float32), (d,)))
+        betas = jnp.asarray([acq._beta(t) for t in range(max(n_acq, 1))],
+                            jnp.float32)
+        # reference refit schedule (bolfi.py:289-293): refit when the count
+        # crosses n_init and every update_interval points thereafter
+        refit = np.zeros(max(n_acq, 1), bool)
+        last = n_init
+        for t in range(n_acq):
+            cur = n_init + t + 1
+            if cur >= n_init and cur >= last + self.update_interval:
+                refit[t] = True
+                last = cur
+        refit = jnp.asarray(refit)
+
+        prog_prior = compile_program(self.model, (self.target_name,)
+                                     + tuple(self.parameter_names))
+        init_fn = prog_prior.traceable(batch_size=n_init)
+        prog_sim = compile_program(self.model, (self.target_name,),
+                                   override_names=tuple(self.parameter_names))
+        sim_fn = prog_sim.traceable(batch_size=1)
+        pnames = list(self.parameter_names)
+        n_restarts = gp._n_restarts
+        n_inits_acq = acq.n_inits
+        target_name = self.target_name
+
+        def heuristic_params(y):
+            bmin, bmax = jnp.min(lo), jnp.max(hi)
+            ls = (bmax - bmin) / 3.0
+            kv = (jnp.max(jnp.abs(y)) / 3.0) ** 2 + 1e-6
+            bv = kv / 4.0 + 1e-6
+            nv = jnp.maximum(jnp.max(y) ** 2 / 100.0, 1e-6)
+            u0 = jnp.log(jnp.stack([kv, ls, bv, nv]))
+            shapes = jnp.stack([kv, ls, bv, jnp.float32(0.0)])
+            return u0, shapes
+
+        def u_to_params(u):
+            v = jnp.exp(u)
+            return {"sigma2": v[0], "ell": v[1], "bias": v[2],
+                    "noise": v[3]}
+
+        master = jax.random.key(self.seed)
+
+        def run(master):
+            out = init_fn(master, jnp.uint32(0), {})
+            y0 = out[target_name].reshape(-1).astype(jnp.float32)
+            X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
+                           axis=1).astype(jnp.float32)
+            Xp = jnp.zeros((cap, d), jnp.float32).at[:n_init].set(X0)
+            yp = jnp.zeros((cap,), jnp.float32).at[:n_init].set(y0)
+            mask0 = (jnp.arange(cap) < n_init).astype(jnp.float32)
+            u0, shapes = heuristic_params(y0)
+            rkey = jax.random.fold_in(master, 0x5EED)
+            starts0 = u0 + 0.5 * jax.random.normal(
+                jax.random.fold_in(rkey, 0), (n_restarts, 4))
+            u0, _ = optimize_restarts_core(
+                starts0.at[0].set(u0), Xp, yp, mask0, shapes,
+                jnp.float32(0.1))
+
+            def step(carry, inp):
+                Xc, yc, u, n = carry
+                t, beta, do_refit = inp
+                params = u_to_params(u)
+                mask = (jnp.arange(cap) < n).astype(jnp.float32)
+                L, alpha = _posterior_factor(Xc, yc, mask, params)
+                kacq = jax.random.fold_in(rkey, 1000 + t)
+                starts = lo + (hi - lo) * jax.random.uniform(
+                    kacq, (n_inits_acq, d))
+                lr = jnp.max(hi - lo) / 10.0
+
+                def one(x0):
+                    return adam_minimize(
+                        lambda th: gp_neg_lcb_obj(th, Xc, mask, L, alpha,
+                                                  params, beta),
+                        x0, 150, lr, lo, hi)
+
+                xs, fs = jax.vmap(one)(starts)
+                theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
+                                                jnp.inf))]
+                if noise_var is not None:
+                    knoise = jax.random.fold_in(rkey, 2000 + t)
+                    from ..ops.distributions import truncnorm as _tn
+                    a = (lo - theta) / noise_std
+                    b = (hi - theta) / noise_std
+                    theta = _tn.rvs(a, b, loc=theta, scale=noise_std,
+                                    size=(d,), key=knoise)
+                overrides = {p: theta[i][None] for i, p in enumerate(pnames)}
+                y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
+                               overrides)[target_name].reshape(())
+                Xc = Xc.at[n].set(theta)
+                yc = yc.at[n].set(y_new)
+                n = n + 1
+                mask = (jnp.arange(cap) < n).astype(jnp.float32)
+
+                def do_opt(u):
+                    st = u + 0.5 * jax.random.normal(
+                        jax.random.fold_in(rkey, 3000 + t),
+                        (n_restarts, 4))
+                    u_new, _ = optimize_restarts_core(
+                        st.at[0].set(u), Xc, yc, mask, shapes,
+                        jnp.float32(0.1))
+                    return u_new
+
+                u = jax.lax.cond(do_refit, do_opt, lambda uu: uu, u)
+                return (Xc, yc, u, n), None
+
+            xs = (jnp.arange(n_acq, dtype=jnp.int32), betas[:n_acq],
+                  refit[:n_acq])
+            (Xf, yf, uf, nf), _ = jax.lax.scan(
+                step, (Xp, yp, u0, jnp.int32(n_init)), xs)
+            return Xf, yf, uf
+
+        Xf, yf, uf = jax.jit(run)(master)
+        Xf, yf, uf = jax.device_get((Xf, yf, uf))
+
+        # install the fused result into the GP / inference state
+        gp._x = np.asarray(Xf[:n_total], np.float64)
+        gp._y = np.asarray(yf[:n_total], np.float64)
+        vals = np.exp(np.asarray(uf, np.float64))
+        gp.params = dict(zip(("sigma2", "ell", "bias", "noise"),
+                             vals.tolist()))
+        y0 = gp._y[:n_init]
+        bmin = min(b[0] for b in gp.bounds)
+        bmax = max(b[1] for b in gp.bounds)
+        gp._prior_shapes = np.array([
+            (np.max(np.abs(y0)) / 3.0) ** 2 + 1e-6,
+            (bmax - bmin) / 3.0,
+            (np.max(np.abs(y0)) / 3.0) ** 2 / 4.0 + 1e-6, 0.0])
+        gp._refactor()
+        self.state["n_evidence"] = n_total
+        self.state["n_batches"] = n_total
+        self.state["n_sim"] = n_total
+        self.state["last_GP_update"] = n_total
+        self.objective["n_evidence"] = n_total
+        self.objective["n_sim"] = n_total
 
     def extract_posterior(self, threshold=None):
         if self.state["n_evidence"] == 0:
@@ -225,14 +422,17 @@ class BOLFI(BayesianOptimization):
                 raise ValueError(
                     "The shape of initials must be (n_chains, n_params)")
         else:
-            inds = np.argsort(np.asarray(self.target_model.Y)[:, 0])
-            candidates = np.asarray(self.target_model.X)[inds]
-            ok = np.isfinite(posterior.logpdf(candidates))
-            candidates = candidates[ok]
+            # rank evidence points by POSTERIOR logpdf (not GP-mean order):
+            # with sharp surrogates the smallest-mean points can sit at
+            # -inf prior support or deep posterior valleys
+            candidates = np.asarray(self.target_model.X)
+            lps = posterior.logpdf(candidates)
+            ok = np.isfinite(lps)
+            candidates, lps = candidates[ok], lps[ok]
             if len(candidates) < n_chains:
-                raise ValueError("BOLFI.sample: cannot find enough "
-                                 "acceptable initialization points")
-            initials = candidates[:n_chains]
+                raise ValueError("sample: cannot find enough acceptable "
+                                 "initialization points")
+            initials = candidates[np.argsort(-lps)][:n_chains]
 
         target = posterior.traceable_logpdf()
         if algorithm == "nuts":
@@ -247,12 +447,16 @@ class BOLFI(BayesianOptimization):
                                             sigmas, warmup=0,
                                             seed=self.seed, **kwargs)
 
-        print(f"{n_chains} chains of {n_samples} iterations acquired. "
-              "Effective sample size and Rhat for each parameter:")
+        logger.info("%d chains of %d iterations acquired. Effective sample "
+                    "size and Rhat for each parameter:", n_chains, n_samples)
+        self.ess = {}
+        self.rhat = {}
         for ii, node in enumerate(self.target_model.parameter_names):
-            print(node,
-                  mcmc.eff_sample_size(chains[:, warmup:, ii]),
-                  mcmc.gelman_rubin_statistic(chains[:, warmup:, ii]))
+            self.ess[node] = mcmc.eff_sample_size(chains[:, warmup:, ii])
+            self.rhat[node] = mcmc.gelman_rubin_statistic(
+                chains[:, warmup:, ii])
+            logger.info("%s ESS=%.1f Rhat=%.4f", node, self.ess[node],
+                        self.rhat[node])
 
         return BolfiSample(method_name="BOLFI", chains=chains,
                            parameter_names=self.target_model.parameter_names,

@@ -102,14 +102,17 @@ class BOLFIRE(ModelBased):
                 raise ValueError(
                     "The shape of initials must be (n_chains, n_params)")
         else:
-            inds = np.argsort(np.asarray(self.target_model.Y)[:, 0])
-            candidates = np.asarray(self.target_model.X)[inds]
-            ok = np.isfinite(posterior.logpdf(candidates))
-            candidates = candidates[ok]
+            # rank evidence points by POSTERIOR logpdf (not GP-mean order):
+            # with sharp surrogates the smallest-mean points can sit at
+            # -inf prior support or deep posterior valleys
+            candidates = np.asarray(self.target_model.X)
+            lps = posterior.logpdf(candidates)
+            ok = np.isfinite(lps)
+            candidates, lps = candidates[ok], lps[ok]
             if len(candidates) < n_chains:
-                raise ValueError("BOLFIRE.sample: cannot find enough "
-                                 "acceptable initialization points")
-            initials = candidates[:n_chains]
+                raise ValueError("sample: cannot find enough acceptable "
+                                 "initialization points")
+            initials = candidates[np.argsort(-lps)][:n_chains]
 
         target = posterior.traceable_logpdf()
         if algorithm == "nuts":
@@ -165,9 +168,13 @@ class BOLFIRE(ModelBased):
 
     def _resolve_acquisition_method(self, acquisition_method):
         if acquisition_method is None:
-            # additive -log prior cost (reference ``bolfire.py:333-346``)
+            # additive -log prior cost (reference ``bolfire.py:333-346``);
+            # the traceable form enables the device-side acquisition path
+            prior_tr = self.prior.traceable_logpdf()
             cost = CostFunction(self.prior.logpdf,
-                                self.prior.gradient_logpdf, scale=-1)
+                                self.prior.gradient_logpdf, scale=-1,
+                                traceable=lambda theta: prior_tr(
+                                    theta[None])[0])
             return LCBSC(model=self.target_model, prior=self.prior,
                          noise_var=self.acq_noise_var,
                          exploration_rate=self.exploration_rate,

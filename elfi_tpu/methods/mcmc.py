@@ -42,9 +42,16 @@ def _trailing_ones(n):
 
 
 def _leapfrog(grad, x, m, step):
-    m1 = m + 0.5 * step * grad(x)
+    # zero non-finite gradients (outside prior support the logpdf is -inf
+    # and autodiff yields nan); matches the reference's sanitized
+    # gradient_logpdf (``elfi/model/extensions.py:217-230``) — otherwise a
+    # single boundary touch poisons the whole trajectory with nans
+    def sg(v):
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    m1 = m + 0.5 * step * sg(grad(x))
     x1 = x + step * m1
-    m1 = m1 + 0.5 * step * grad(x1)
+    m1 = m1 + 0.5 * step * sg(grad(x1))
     return x1, m1
 
 

@@ -31,13 +31,23 @@ class BolfiPosterior:
         self.max_opt_iters = max_opt_iters
         if threshold is None:
             # threshold = optimized minimum of the GP mean (reference
-            # ``posteriors.py:64-78``)
-            minloc, minval = minimize(self.model.predict_mean,
-                                      self.model.bounds,
-                                      grad=self.model.predictive_gradient_mean,
-                                      prior=prior, n_start_points=n_inits,
-                                      maxiter=max_opt_iters,
-                                      random_state=self.random_state)
+            # ``posteriors.py:64-78``), found fully on device
+            from .bo.gp import gp_mean_obj
+            from .bo.utils import minimize_traced
+            if getattr(model, "_factor", None) is not None:
+                Xp, mask, L, alpha, params = model._factor
+                _, minval = minimize_traced(
+                    gp_mean_obj, model.bounds,
+                    args=(Xp, mask, L, alpha, params),
+                    n_starts=n_inits, steps=max(100, min(max_opt_iters, 300)),
+                    key=jax.random.key(seed))
+            else:
+                _, minval = minimize(self.model.predict_mean,
+                                     self.model.bounds,
+                                     grad=self.model.predictive_gradient_mean,
+                                     prior=prior, n_start_points=n_inits,
+                                     maxiter=max_opt_iters,
+                                     random_state=self.random_state)
             threshold = float(np.asarray(minval))
         self.threshold = threshold
         self._jit_cache = {}
