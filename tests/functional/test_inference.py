@@ -1,0 +1,92 @@
+"""Statistical accuracy gate: every method recovers the MA2 posterior on
+informative data (reference ``tests/functional/test_inference.py:16-56``).
+
+seed_obs=6 was calibrated so the TRUE rejection posterior mean (2M sims on
+hardware) is (0.569, 0.236), within 0.05 of the generating parameters
+(0.6, 0.2) — the reference's informative-data setup.  Tolerances scale
+with each method's approximation quality and the CI simulation budget."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import elfi_tpu as elfi
+from elfi_tpu.models import ma2
+
+TRUE = np.array([0.6, 0.2])
+
+
+@pytest.fixture(scope="module")
+def m6():
+    return ma2.get_model(seed_obs=6)
+
+
+def check(res, atol, weights=None):
+    w = res.weights if res.weights is not None else None
+    if w is not None:
+        w = w / w.sum()
+        means = np.array([np.sum(np.asarray(res.samples[k]) * w)
+                          for k in ("t1", "t2")])
+    else:
+        means = np.array([np.mean(res.samples[k]) for k in ("t1", "t2")])
+    err = np.abs(means - TRUE)
+    assert np.all(err < atol), f"posterior means {means}, err {err}"
+    return means
+
+
+def test_rejection_accuracy(m6):
+    rej = elfi.Rejection(m6["d"], batch_size=1 << 14, seed=1)
+    res = rej.sample(1000, n_sim=1 << 19, bar=False)
+    check(res, 0.08)
+
+
+def test_rejection_threshold_accuracy(m6):
+    rej = elfi.Rejection(m6["d"], batch_size=1 << 14, seed=2)
+    res = rej.sample(400, threshold=0.1, bar=False)
+    assert np.all(res.outputs["d"] <= 0.1)
+    check(res, 0.1)
+
+
+def test_smc_accuracy(m6):
+    smc = elfi.SMC(m6["d"], batch_size=2000, seed=3)
+    res = smc.sample(500, quantiles=[0.25, 0.25, 0.25], bar=False)
+    check(res, 0.12)
+
+
+def test_adaptive_threshold_smc_accuracy(m6):
+    from elfi_tpu.methods.density_ratio_estimation import \
+        DensityRatioEstimation
+    smc = elfi.AdaptiveThresholdSMC(
+        m6["d"], batch_size=2000, seed=4, initial_quantile=0.25,
+        densratio_estimation=DensityRatioEstimation(n=80, epsilon=0.001,
+                                                    max_iter=150,
+                                                    abs_tol=0.01))
+    res = smc.sample(400, max_iter=4, bar=False)
+    check(res, 0.15)
+
+
+def test_bolfi_accuracy(m6):
+    elfi.Operation(jnp.log, m6["d"], model=m6, name="log_d")
+    bolfi = elfi.BOLFI(m6["log_d"], batch_size=1, initial_evidence=24,
+                       update_interval=12,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                       acq_noise_var=0.1, seed=5)
+    bolfi.fit(n_evidence=120, bar=False)
+    res = bolfi.sample(1200, n_chains=4, bar=False)
+    check(res, 0.3)  # surrogate posterior, coarse budget
+
+
+def test_bsl_accuracy(m6):
+    bsl = elfi.BSL(m6, n_sim_round=600, batch_size=600, seed=6)
+    res = bsl.sample(150, sigma_proposals=np.eye(2) * 0.05, burn_in=30,
+                     bar=False)
+    check(res, 0.25)
+
+
+def test_romc_accuracy(m6):
+    romc = elfi.ROMC(m6["d"], bounds=[(-2, 2), (-1, 1)], seed=7)
+    romc.solve_problems(n1=60, seed=8)
+    romc.estimate_regions(eps_filter=0.1)
+    res = romc.sample(n2=30, seed=9)
+    check(res, 0.25)
