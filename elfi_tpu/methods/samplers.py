@@ -27,7 +27,7 @@ from ..compile.compiler import compile_program
 from ..model.extensions import ModelPrior
 from ..model.model import AdaptiveDistance
 from ..ops import topk
-from ..parallel.backends import NativeBackend
+from ..parallel.backends import NativeBackend, ShardedBackend
 from ..utils import get_sub_seed
 from .base import Sampler, _ProgressBar
 from .results import Sample, SmcSample
@@ -165,7 +165,8 @@ class Rejection(Sampler):
         """
         self.bar = bar
         eligible = (self.pool is None and not self.adaptive
-                    and isinstance(self.client, NativeBackend)
+                    and isinstance(self.client, (NativeBackend,
+                                                 ShardedBackend))
                     and not kwargs)
         if fused is None:
             fused = eligible
@@ -188,6 +189,26 @@ class Rejection(Sampler):
     def _run_fused(self, prog, threshold):
         fn = prog.traceable(self.batch_size)
         disc = self.discrepancy_name
+        # multi-chip: shard the batch axis of every per-simulation array
+        # over the mesh inside the scan; the top-k merge's gather lowers to
+        # ICI collectives and the carried buffers stay replicated
+        shard = None
+        if isinstance(self.client, ShardedBackend):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.batch_size % self.client.n_devices:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by mesh "
+                    f"size {self.client.n_devices}")
+            batched = NamedSharding(self.client.mesh,
+                                    P(self.client.axis_name))
+
+            def shard_outputs(out):
+                return {k: jax.lax.with_sharding_constraint(v, batched)
+                        if (jnp.ndim(v) >= 1
+                            and v.shape[0] == self.batch_size) else v
+                        for k, v in out.items()}
+
+            shard = shard_outputs
         n = self.objective["n_samples"]
         master = jax.random.key(self.seed)
         thr_given = threshold is not None
@@ -208,6 +229,8 @@ class Rejection(Sampler):
                 def body(master_key, start, bufs, thr):
                     def step(b, i):
                         out = fn(master_key, i, {})
+                        if shard is not None:
+                            out = shard(out)
                         return topk.merge_core(b, out, thr, disc)
                     idx = start + jnp.arange(length, dtype=jnp.uint32)
                     bufs, accs = jax.lax.scan(step, bufs, idx)

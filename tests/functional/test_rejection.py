@@ -74,3 +74,22 @@ def test_multivariate(multivariate_model):
     rej = elfi.Rejection(multivariate_model["d"], batch_size=32, seed=5)
     res = rej.sample(8, n_sim=64, bar=False)
     assert res.samples["t1"].shape == (8, 2)
+
+
+def test_sharded_fused_equals_native_fused(ma2):
+    """The fused scan with batch-axis sharding over an 8-device mesh must
+    produce the same samples as the single-device fused path."""
+    pre = elfi.get_client()
+    try:
+        elfi.set_client(elfi.NativeBackend())
+        res_n = elfi.Rejection(ma2["d"], batch_size=64, seed=21).sample(
+            16, n_sim=640, fused=True, bar=False)
+        elfi.set_client(elfi.ShardedBackend())
+        res_s = elfi.Rejection(ma2["d"], batch_size=64, seed=21).sample(
+            16, n_sim=640, fused=True, bar=False)
+        for k in res_n.outputs:
+            np.testing.assert_allclose(np.asarray(res_n.outputs[k]),
+                                       np.asarray(res_s.outputs[k]),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        elfi.set_client(pre)
