@@ -8,7 +8,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["plot_marginals", "plot_pairs", "plot_traces", "plot_sample",
-           "plot_discrepancy", "plot_gp", "nx_draw", "draw"]
+           "plot_discrepancy", "plot_gp", "plot_params_vs_node",
+           "plot_predicted_summaries", "draw_contour", "ProgressBar",
+           "nx_draw", "draw"]
 
 
 def _mpl():
@@ -197,3 +199,116 @@ def nx_draw(model, internal=False, filename=None, format=None):
 
 
 draw = nx_draw
+
+
+def plot_params_vs_node(node, n_samples=100, func=None, seed=None, axes=None,
+                        **kwargs):
+    """Scatter model parameters against a (scalar-output) node — e.g. how a
+    summary varies with the parameters (reference
+    ``visualization.py:306-384``)."""
+    plt = _mpl()
+    model = node.model
+    parameters = model.parameter_names
+    if node.name in parameters:
+        out = model.generate(n_samples, outputs=[node.name], seed=seed)
+        fig, ax = plt.subplots()
+        ax.hist(np.asarray(out[node.name]).ravel(), **kwargs)
+        ax.set_xlabel(node.name)
+        return np.array([ax])
+    outputs = model.generate(n_samples, outputs=parameters + [node.name],
+                             seed=seed)
+    vals = np.asarray(outputs[node.name])
+    if func is not None:
+        vals = np.asarray(func(vals))
+    vals = vals.reshape(n_samples, -1)[:, 0]
+    if axes is None:
+        fig, axes = plt.subplots(1, len(parameters),
+                                 figsize=(4 * len(parameters), 3),
+                                 squeeze=False)
+        axes = axes[0]
+    axes = np.atleast_1d(axes)
+    for ax, p in zip(axes, parameters):
+        ax.scatter(np.asarray(outputs[p]).ravel(), vals, s=4, **kwargs)
+        ax.set_xlabel(p)
+        ax.set_ylabel(node.name)
+    return axes
+
+
+def plot_predicted_summaries(model=None, summary_names=None, n_samples=100,
+                             seed=None, bins=20, axes=None,
+                             add_observed=True, **kwargs):
+    """Pairplots of summaries under the prior predictive, with the observed
+    summary point marked (reference ``visualization.py:521-560``)."""
+    plt = _mpl()
+    from .compile.compiler import compile_program
+    outputs = model.generate(n_samples, outputs=list(summary_names),
+                             seed=seed)
+    samples = {s: np.asarray(outputs[s]).reshape(n_samples, -1)[:, 0]
+               for s in summary_names}
+    axes = plot_pairs(samples, bins=bins, axes=axes, **kwargs)
+    if add_observed:
+        prog = compile_program(model, tuple(summary_names))
+        obs = {s: float(np.asarray(prog.observed_value(s)).ravel()[0])
+               for s in summary_names}
+        names = list(samples)
+        for i, ni in enumerate(names):
+            for j, nj in enumerate(names):
+                if i != j:
+                    axes[i][j].plot(obs[nj], obs[ni], "r*", markersize=12)
+    return axes
+
+
+def draw_contour(fn, bounds, parameter_names=None, title=None, points=None,
+                 axes=None, resol=50, **options):
+    """Contour plot of a 2-D function over bounds (reference
+    ``visualization/interactive.py:79-120``)."""
+    plt = _mpl()
+    if axes is None:
+        _, axes = plt.subplots()
+    x = np.linspace(*bounds[0], resol)
+    y = np.linspace(*bounds[1], resol)
+    X, Y = np.meshgrid(x, y)
+    grid = np.stack([X.ravel(), Y.ravel()], axis=1)
+    Z = np.asarray(fn(grid)).reshape(resol, resol)
+    axes.contourf(X, Y, Z, 30)
+    if points is not None:
+        points = np.asarray(points)
+        axes.scatter(points[:, 0], points[:, 1], c="r", s=6)
+    if title:
+        axes.set_title(title)
+    if parameter_names is not None:
+        axes.set_xlabel(parameter_names[0])
+        axes.set_ylabel(parameter_names[1])
+    return axes
+
+
+class ProgressBar:
+    """Textual progress bar (reference ``visualization.py:563-646``)."""
+
+    def __init__(self, prefix="Progress", suffix="Complete", decimals=1,
+                 length=50, fill="="):
+        self.prefix = prefix
+        self.suffix = suffix
+        self.decimals = decimals
+        self.length = length
+        self.fill = fill
+        self.scaling = 0
+        self.finished = False
+
+    def reinit_progressbar(self, scaling=0, reinit_msg=""):
+        self.scaling = scaling
+        self.finished = False
+        if reinit_msg:
+            print(f"\n{reinit_msg}")
+
+    def update_progressbar(self, iteration, total):
+        total = max(total, 1)
+        frac = min(iteration / total, 1.0)
+        pct = f"{100 * frac:.{self.decimals}f}"
+        filled = int(self.length * frac)
+        bar = self.fill * filled + "-" * (self.length - filled)
+        print(f"\r{self.prefix} [{bar}] {pct}% {self.suffix}", end="",
+              flush=True)
+        if frac >= 1.0 and not self.finished:
+            print()
+            self.finished = True
