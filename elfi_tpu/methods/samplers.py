@@ -221,12 +221,27 @@ class Rejection(Sampler):
                        jnp.zeros((n,) + v.shape[1:], v.dtype))
                    for k, v in shapes.items()}
         buffers["__key"] = jnp.full((n,), jnp.inf, jnp.float32)
+        # the batch cursor rides in the device carry: after the first
+        # dispatch no host->device argument transfers remain (each costs
+        # tens of ms on a remote-attached chip)
+        buffers["__start"] = jnp.uint32(0)
+        master = jax.device_put(master)
+        thr_dev = jax.device_put(jnp.asarray(thr0))
 
-        chunk_cache = {}
+        # cache compiled chunks ON the program so repeated sample() calls
+        # and fresh Rejection instances reuse the executable (the scan body
+        # is a closure; a per-call jit would recompile every time)
+        chunk_cache = prog.__dict__.setdefault("_fused_chunks", {})
+        shard_tag = None if shard is None else (self.client.n_devices,
+                                                self.client.axis_name)
 
         def chunk_fn(length):
-            if length not in chunk_cache:
-                def body(master_key, start, bufs, thr):
+            cache_key = (self.batch_size, n, length, shard_tag,
+                         tuple(sorted(self.output_names)))
+            if cache_key not in chunk_cache:
+                def body(master_key, bufs, thr):
+                    start = bufs.pop("__start")
+
                     def step(b, i):
                         out = fn(master_key, i, {})
                         if shard is not None:
@@ -234,9 +249,10 @@ class Rejection(Sampler):
                         return topk.merge_core(b, out, thr, disc)
                     idx = start + jnp.arange(length, dtype=jnp.uint32)
                     bufs, accs = jax.lax.scan(step, bufs, idx)
+                    bufs["__start"] = start + jnp.uint32(length)
                     return bufs, jnp.sum(accs)
-                chunk_cache[length] = jax.jit(body)
-            return chunk_cache[length]
+                chunk_cache[cache_key] = jax.jit(body)
+            return chunk_cache[cache_key]
 
         pb = _ProgressBar() if self.bar else None
         if not thr_given:
@@ -244,8 +260,7 @@ class Rejection(Sampler):
             done = 0
             while done < n_batches:
                 length = min(_FUSED_CHUNK, n_batches - done)
-                buffers, acc = chunk_fn(length)(
-                    master, jnp.uint32(done), buffers, jnp.asarray(thr0))
+                buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
                 done += length
                 if pb:
                     pb.update(done, n_batches)
@@ -256,13 +271,13 @@ class Rejection(Sampler):
             while accepted < n and done < max_batches:
                 length = _FUSED_CHUNK if done else min(
                     _FUSED_CHUNK, self.objective["n_batches"])
-                buffers, acc = chunk_fn(length)(
-                    master, jnp.uint32(done), buffers, jnp.asarray(thr0))
+                buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
                 done += length
                 accepted += int(acc)
                 if pb:
                     pb.update(min(accepted, n), n)
             self.state["n_accepted"] = accepted
+        buffers.pop("__start", None)
         if pb:
             pb.finish()
         self.state["n_batches"] = done

@@ -4,7 +4,23 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["get_sub_seed", "random_seed", "is_array", "observed_name"]
+__all__ = ["get_sub_seed", "random_seed", "is_array", "observed_name",
+           "setup_performance_cache"]
+
+
+def setup_performance_cache(cache_dir=".jax_cache", min_compile_secs=0.5):
+    """Enable the persistent XLA compilation cache and strip caller-stack
+    debug locations from lowered programs.
+
+    The location stripping matters: Mosaic/pallas payloads embed source
+    locations of the CALLING context, so structurally identical programs
+    built from different call sites produce different cache keys and
+    recompile (tens of seconds each on a remote-compile setup)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    jax.config.update("jax_traceback_in_locations_limit", 0)
 
 
 def get_sub_seed(seed, sub_seed_index, high=2**31):
