@@ -120,6 +120,17 @@ class Sample(ParameterInferenceResult):
             np.ones(self.n_samples)
         return compute_ess(w)
 
+    @property
+    def idata(self):
+        """arviz InferenceData export (reference ``results.py:214-217``);
+        falls back to a plain dict-of-arrays when arviz is unavailable."""
+        try:
+            import arviz as az
+            return az.convert_to_inference_data(
+                {k: np.asarray(v)[None] for k, v in self.samples.items()})
+        except ImportError:
+            return {k: np.asarray(v) for k, v in self.samples.items()}
+
     # -- io -----------------------------------------------------------------
     def __str__(self):
         return self.summary_string()
