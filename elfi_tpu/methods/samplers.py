@@ -120,8 +120,11 @@ class Rejection(Sampler):
             raise ValueError("Nothing to extract")
         if self.adaptive:
             self._update_distances()
+        # one device_get for the whole pytree: a per-array fetch costs a
+        # full round trip each on a remote-attached chip
+        fetched = jax.device_get(self.state["samples"])
         outputs = {k: np.asarray(v)
-                   for k, v in self.state["samples"].items() if k != "__key"}
+                   for k, v in fetched.items() if k != "__key"}
         self._update_state_meta(outputs)
         return Sample(outputs=outputs, **self._extract_result_kwargs())
 
@@ -210,23 +213,20 @@ class Rejection(Sampler):
 
             shard = shard_outputs
         n = self.objective["n_samples"]
-        master = jax.random.key(self.seed)
         thr_given = threshold is not None
         thr0 = np.asarray(threshold, np.float32) if thr_given \
             else np.float32(np.inf)
 
-        shapes = jax.eval_shape(fn, master, jnp.uint32(0), {})
-        buffers = {k: (jnp.full((n,) + v.shape[1:], jnp.inf, jnp.float32)
-                       if k == disc else
-                       jnp.zeros((n,) + v.shape[1:], v.dtype))
-                   for k, v in shapes.items()}
-        buffers["__key"] = jnp.full((n,), jnp.inf, jnp.float32)
-        # the batch cursor rides in the device carry: after the first
-        # dispatch no host->device argument transfers remain (each costs
-        # tens of ms on a remote-attached chip)
-        buffers["__start"] = jnp.uint32(0)
-        master = jax.device_put(master)
-        thr_dev = jax.device_put(jnp.asarray(thr0))
+        shapes = jax.eval_shape(fn, jax.eval_shape(jax.random.key, 0),
+                                jnp.uint32(0), {})
+
+        def init_buffers():
+            buffers = {k: (jnp.full((n,) + v.shape[1:], jnp.inf, jnp.float32)
+                           if k == disc else
+                           jnp.zeros((n,) + v.shape[1:], v.dtype))
+                       for k, v in shapes.items()}
+            buffers["__key"] = jnp.full((n,), jnp.inf, jnp.float32)
+            return buffers
 
         # cache compiled chunks ON the program so repeated sample() calls
         # and fresh Rejection instances reuse the executable (the scan body
@@ -235,37 +235,68 @@ class Rejection(Sampler):
         shard_tag = None if shard is None else (self.client.n_devices,
                                                 self.client.axis_name)
 
+        def scan_batches(master_key, bufs, thr, start, length):
+            def step(b, i):
+                out = fn(master_key, i, {})
+                if shard is not None:
+                    out = shard(out)
+                return topk.merge_core(b, out, thr, disc)
+            idx = start + jnp.arange(length, dtype=jnp.uint32)
+            bufs, accs = jax.lax.scan(step, bufs, idx)
+            return bufs, jnp.sum(accs)
+
         def chunk_fn(length):
             cache_key = (self.batch_size, n, length, shard_tag,
                          tuple(sorted(self.output_names)))
             if cache_key not in chunk_cache:
                 def body(master_key, bufs, thr):
                     start = bufs.pop("__start")
-
-                    def step(b, i):
-                        out = fn(master_key, i, {})
-                        if shard is not None:
-                            out = shard(out)
-                        return topk.merge_core(b, out, thr, disc)
-                    idx = start + jnp.arange(length, dtype=jnp.uint32)
-                    bufs, accs = jax.lax.scan(step, bufs, idx)
+                    bufs, acc = scan_batches(master_key, bufs, thr, start,
+                                             length)
                     bufs["__start"] = start + jnp.uint32(length)
-                    return bufs, jnp.sum(accs)
+                    return bufs, acc
+                chunk_cache[cache_key] = jax.jit(body)
+            return chunk_cache[cache_key]
+
+        def whole_fn(length):
+            # no-threshold, no-progress-bar runs: buffer init + ALL batches
+            # in ONE dispatch -- on a remote-attached chip every extra
+            # dispatch / device_put is a ~10-50 ms round trip
+            cache_key = (self.batch_size, n, "whole", length, shard_tag,
+                         tuple(sorted(self.output_names)))
+            if cache_key not in chunk_cache:
+                def body(seed, thr):
+                    master_key = jax.random.key(seed)
+                    bufs, acc = scan_batches(master_key, init_buffers(), thr,
+                                             jnp.uint32(0), length)
+                    return bufs, acc
                 chunk_cache[cache_key] = jax.jit(body)
             return chunk_cache[cache_key]
 
         pb = _ProgressBar() if self.bar else None
         if not thr_given:
             n_batches = self.objective["n_batches"]
-            done = 0
-            while done < n_batches:
-                length = min(_FUSED_CHUNK, n_batches - done)
-                buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
-                done += length
-                if pb:
+            if pb is None:
+                buffers, _ = whole_fn(n_batches)(
+                    jnp.uint32(self.seed), jnp.float32(thr0))
+                done = n_batches
+            else:
+                master = jax.device_put(jax.random.key(self.seed))
+                thr_dev = jax.device_put(jnp.asarray(thr0))
+                buffers = init_buffers()
+                buffers["__start"] = jnp.uint32(0)
+                done = 0
+                while done < n_batches:
+                    length = min(_FUSED_CHUNK, n_batches - done)
+                    buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
+                    done += length
                     pb.update(done, n_batches)
             self.state["n_accepted"] = done * self.batch_size
         else:
+            master = jax.device_put(jax.random.key(self.seed))
+            thr_dev = jax.device_put(jnp.asarray(thr0))
+            buffers = init_buffers()
+            buffers["__start"] = jnp.uint32(0)
             done, accepted = 0, 0
             max_batches = 100_000
             while accepted < n and done < max_batches:
