@@ -189,3 +189,39 @@ class GMDistribution:
     @classmethod
     def pdf(cls, x, means, cov=1, weights=None):
         return jnp.exp(cls.logpdf(x, means, cov, weights))
+
+
+def sample_object_to_dict(data, elem, skip=""):
+    """Flatten a result object's attributes into ``data`` for JSON export
+    (reference ``methods/utils.py:317-340``): ``outputs`` (redundant with
+    ``samples``/``discrepancies``) and ``skip`` are omitted; ``meta`` entries
+    are inlined at the top level."""
+    omit = {"outputs", skip}
+    for key, val in vars(elem).items():
+        if key in omit:
+            continue
+        if key == "meta":
+            data.update(val)
+        else:
+            data[key] = val
+
+
+def numpy_to_python_type(data):
+    """In-place conversion of numpy scalars/arrays (one level of nesting) to
+    plain Python types for JSON serialization (reference
+    ``methods/utils.py:342-376``)."""
+    def _convert(v):
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
+
+    for key, val in data.items():
+        if isinstance(val, dict):
+            for k2, v2 in val.items():
+                val[k2] = _convert(v2)
+        else:
+            data[key] = _convert(val)
