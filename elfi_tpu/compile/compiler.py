@@ -45,9 +45,11 @@ def compile_program(model, outputs, override_names=()):
     if cache is None:
         cache = model._program_cache = {}
     key = (model.revision, outputs, override_names)
-    # drop programs for stale revisions
-    for k in [k for k in cache if k[0] != model.revision]:
-        del cache[k]
+    # the cache is SHARED between a model and its copies (revisions are
+    # globally unique), so never evict by revision — other live models may
+    # still use those entries; just bound the total size FIFO
+    while len(cache) > 64:
+        cache.pop(next(iter(cache)))
     if key not in cache:
         cache[key] = CompiledProgram(model, outputs, override_names)
     return cache[key]

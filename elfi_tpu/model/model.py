@@ -142,16 +142,27 @@ class Model:
         self.observed.pop(name, None)
         self._invalidate_cache()
 
+    # revisions are globally unique so structurally-identical model copies
+    # can SHARE one compiled-program cache: inference objects copy the model
+    # defensively (reference ``parameter_inference.py:47``), and without
+    # sharing every new inference instance would re-trace and re-load its
+    # executables (~0.3-0.7 s each on a remote-attached chip)
+    _REVISION_COUNTER = 0
+
     def copy(self, name=None):
         m = Model.__new__(Model)
         m.name = name or f"{self.name}_copy"
         m.dag = self.dag.copy()
         m.observed = dict(self.observed)
+        m._revision = self.revision
+        m._program_cache = self.__dict__.setdefault("_program_cache", {})
         return m
 
     def _invalidate_cache(self):
-        # compiled programs are cached keyed on this revision counter
-        self._revision = getattr(self, "_revision", 0) + 1
+        # compiled programs are cached keyed on this revision counter;
+        # globally unique so mutated copies never collide in a shared cache
+        Model._REVISION_COUNTER += 1
+        self._revision = Model._REVISION_COUNTER
 
     @property
     def revision(self):
@@ -190,7 +201,9 @@ class Model:
             return pickle.load(f)
 
     def __getstate__(self):
-        return self.__dict__.copy()
+        d = self.__dict__.copy()
+        d.pop("_program_cache", None)  # executables are not persisted
+        return d
 
     def __setstate__(self, d):
         self.__dict__.update(d)
