@@ -44,19 +44,22 @@ def _ma2_kernel(seed_ref, obs_ref, t1_ref, t2_ref, d_ref, *, n_obs):
     _GROUP rows of _TILE batch elements (sublane tiling quantum)."""
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * 1000003)
+    half = (n_obs + 2 + 1) // 2                     # row pairs actually used
 
     def normals():
-        b1 = pltpu.prng_random_bits((_ROWS, _TILE))
-        b2 = pltpu.prng_random_bits((_ROWS, _TILE))
+        b1 = pltpu.prng_random_bits((half, _TILE))
+        b2 = pltpu.prng_random_bits((half, _TILE))
         # 23 low bits -> non-negative int32 -> uniforms in (0, 1)
         mask = jnp.int32(0x7FFFFF)
         u1 = (b1 & mask).astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
         u2 = (b2 & mask).astype(jnp.float32) * (1.0 / (1 << 23))
+        # both Box-Muller branches: 2 normals per (log, sqrt, sin+cos) set
         r = jnp.sqrt(-2.0 * jnp.log(u1))
-        return r * jnp.cos(2.0 * jnp.pi * u2)
+        a = 2.0 * jnp.pi * u2
+        return jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
 
     for r in range(_GROUP):
-        w = normals()                               # (ROWS, TILE)
+        w = normals()                               # (2*half, TILE)
         t1 = t1_ref[r:r + 1, :]                     # (1, TILE)
         t2 = t2_ref[r:r + 1, :]
         # x_j = w_{j+2} + t1 w_{j+1} + t2 w_j, j = 0..n_obs-1
