@@ -65,6 +65,26 @@ def _bench_bolfi_ricker():
     return round(wall, 2), means
 
 
+def _bench_smc_gauss2d():
+    """2D-Gauss SMC-ABC (BASELINE.md config): fused device rounds."""
+    import numpy as np
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import gauss
+
+    m = gauss.get_model(n_obs=50, true_params=[4.0, 2.0], nd_mean=True,
+                        cov_matrix=np.eye(2))
+    elfi.SMC(m["d"], batch_size=16384, seed=3).sample(
+        2000, thresholds=[2.0, 1.0, 0.5, 0.3], bar=False)   # warmup/compile
+    smc = elfi.SMC(m["d"], batch_size=16384, seed=4)
+    t0 = time.perf_counter()
+    res = smc.sample(2000, thresholds=[2.0, 1.0, 0.5, 0.3], bar=False)
+    wall = time.perf_counter() - t0
+    means = {k: round(float(np.ravel(v)[0]), 3)
+             for k, v in res.sample_means.items()}
+    return round(wall, 2), means
+
+
 def main():
     import jax
     from elfi_tpu.utils import setup_performance_cache
@@ -78,6 +98,7 @@ def main():
 
     # BOLFI first (threefry: jax.random.poisson needs it) ...
     bolfi_s, bolfi_means = _bench_bolfi_ricker()
+    smc_s, smc_means = _bench_smc_gauss2d()
 
     # ... then the rejection benchmark with the hardware RNG (~1.4x faster
     # normal generation than threefry on TPU; still fully deterministic
@@ -120,6 +141,8 @@ def main():
             "bolfi_ricker_total_s": bolfi_s,
             "bolfi_ricker_posterior_means": bolfi_means,
             "bolfi_ricker_target_s": 60.0,
+            "smc_gauss2d_total_s": smc_s,
+            "smc_gauss2d_posterior_means": smc_means,
             "n_sim": n_sim,
             "wall_s": round(wall, 3),
             "batch_size": batch_size,

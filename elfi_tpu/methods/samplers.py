@@ -189,7 +189,22 @@ class Rejection(Sampler):
         self.batches.reset()
         return self.extract_result()
 
-    def _run_fused(self, prog, threshold):
+    def _run_fused(self, prog, threshold, seed=None, start_index=0,
+                   overrides_spec=None):
+        """Run the fused rejection loop.
+
+        ``overrides_spec`` (used by fused SMC rounds) is a triple
+        ``(tag, fn, args)``: ``fn(args, batch_index) -> overrides dict`` is
+        a traceable per-batch override builder whose behaviour is fully
+        determined by ``tag`` + ``args`` (``tag`` keys the compiled-chunk
+        cache; round-varying data must flow through ``args``).
+        """
+        if seed is None:
+            seed = self.seed
+        ov_tag = ov_fn = None
+        ov_args = ()
+        if overrides_spec is not None:
+            ov_tag, ov_fn, ov_args = overrides_spec
         fn = prog.traceable(self.batch_size)
         disc = self.discrepancy_name
         # multi-chip: shard the batch axis of every per-simulation array
@@ -235,9 +250,9 @@ class Rejection(Sampler):
         shard_tag = None if shard is None else (self.client.n_devices,
                                                 self.client.axis_name)
 
-        def scan_batches(master_key, bufs, thr, start, length):
+        def scan_batches(master_key, bufs, thr, start, length, ov):
             def step(b, i):
-                out = fn(master_key, i, {})
+                out = fn(master_key, i, ov_fn(ov, i) if ov_fn else {})
                 if shard is not None:
                     out = shard(out)
                 return topk.merge_core(b, out, thr, disc)
@@ -247,12 +262,12 @@ class Rejection(Sampler):
 
         def chunk_fn(length):
             cache_key = (self.batch_size, n, length, shard_tag,
-                         tuple(sorted(self.output_names)))
+                         tuple(sorted(self.output_names)), ov_tag)
             if cache_key not in chunk_cache:
-                def body(master_key, bufs, thr):
+                def body(master_key, bufs, thr, ov):
                     start = bufs.pop("__start")
                     bufs, acc = scan_batches(master_key, bufs, thr, start,
-                                             length)
+                                             length, ov)
                     bufs["__start"] = start + jnp.uint32(length)
                     return bufs, acc
                 chunk_cache[cache_key] = jax.jit(body)
@@ -263,12 +278,12 @@ class Rejection(Sampler):
             # in ONE dispatch -- on a remote-attached chip every extra
             # dispatch / device_put is a ~10-50 ms round trip
             cache_key = (self.batch_size, n, "whole", length, shard_tag,
-                         tuple(sorted(self.output_names)))
+                         tuple(sorted(self.output_names)), ov_tag)
             if cache_key not in chunk_cache:
-                def body(seed, thr):
-                    master_key = jax.random.key(seed)
+                def body(seed_, thr, start, ov):
+                    master_key = jax.random.key(seed_)
                     bufs, acc = scan_batches(master_key, init_buffers(), thr,
-                                             jnp.uint32(0), length)
+                                             start, length, ov)
                     return bufs, acc
                 chunk_cache[cache_key] = jax.jit(body)
             return chunk_cache[cache_key]
@@ -278,35 +293,41 @@ class Rejection(Sampler):
             n_batches = self.objective["n_batches"]
             if pb is None:
                 buffers, _ = whole_fn(n_batches)(
-                    jnp.uint32(self.seed), jnp.float32(thr0))
+                    jnp.uint32(seed), jnp.float32(thr0),
+                    jnp.uint32(start_index), ov_args)
                 done = n_batches
             else:
-                master = jax.device_put(jax.random.key(self.seed))
+                master = jax.device_put(jax.random.key(seed))
                 thr_dev = jax.device_put(jnp.asarray(thr0))
                 buffers = init_buffers()
-                buffers["__start"] = jnp.uint32(0)
+                buffers["__start"] = jnp.uint32(start_index)
                 done = 0
                 while done < n_batches:
                     length = min(_FUSED_CHUNK, n_batches - done)
-                    buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
+                    buffers, acc = chunk_fn(length)(master, buffers, thr_dev,
+                                                    ov_args)
                     done += length
                     pb.update(done, n_batches)
             self.state["n_accepted"] = done * self.batch_size
         else:
-            master = jax.device_put(jax.random.key(self.seed))
+            master = jax.device_put(jax.random.key(seed))
             thr_dev = jax.device_put(jnp.asarray(thr0))
             buffers = init_buffers()
-            buffers["__start"] = jnp.uint32(0)
+            buffers["__start"] = jnp.uint32(start_index)
             done, accepted = 0, 0
             max_batches = 100_000
+            # each dispatch costs a tunnel round trip while on-device
+            # simulations are nearly free, so chunks stay large: a modest
+            # first probe, then full chunks
+            length = min(_FUSED_CHUNK, max(16, self.objective["n_batches"]))
             while accepted < n and done < max_batches:
-                length = _FUSED_CHUNK if done else min(
-                    _FUSED_CHUNK, self.objective["n_batches"])
-                buffers, acc = chunk_fn(length)(master, buffers, thr_dev)
+                buffers, acc = chunk_fn(length)(master, buffers, thr_dev,
+                                                ov_args)
                 done += length
                 accepted += int(acc)
                 if pb:
                     pb.update(min(accepted, n), n)
+                length = _FUSED_CHUNK
             self.state["n_accepted"] = accepted
         buffers.pop("__start", None)
         if pb:
@@ -321,6 +342,28 @@ class Rejection(Sampler):
         samples = {k: np.asarray(v) for k, v in self.state["samples"].items()}
         plot_sample(samples, nodes=self.parameter_names,
                     n=self.objective["n_samples"], **options)
+
+
+def _gm_overrides_fn(parameter_names, batch_size, prior_logpdf):
+    """Traceable per-batch proposal builder for fused SMC rounds.
+
+    Mirrors :meth:`SMC.prepare_new_batch` exactly (same key folding, same
+    GM draw + prior-support redraws), so fused and unfused rounds propose
+    bit-identical parameters.  Round-varying data (means, cov, weights,
+    round seed) flows through ``args`` so one compiled chunk serves all
+    rounds.
+    """
+    pnames = tuple(parameter_names)
+
+    def fn(args, batch_index):
+        means, cov, weights, round_seed = args
+        rkey = jax.random.fold_in(jax.random.key(round_seed), 0x9E3779B9)
+        key = jax.random.fold_in(rkey, batch_index)
+        params = GMDistribution.rvs_traced(means, cov, weights, batch_size,
+                                           prior_logpdf, key)
+        return {p: params[:, j] for j, p in enumerate(pnames)}
+
+    return fn
 
 
 class SMC(Sampler):
@@ -339,6 +382,81 @@ class SMC(Sampler):
         self._rejection = None
         self._round_key = None
         self._quantiles = None
+
+    def sample(self, n_samples, thresholds=None, quantiles=None, fused=None,
+               bar=True, **kwargs):
+        """Sample from the SMC posterior.
+
+        ``fused=True`` (default when eligible) runs each round's
+        simulate -> distance -> top-k loop as jitted ``lax.scan`` chunks on
+        device, with the Gaussian-mixture proposal draws (including the
+        prior-support redraws) inside the scan.  Proposals and merges are
+        bit-identical to the unfused path; only the stopping point of
+        threshold rounds differs (the fused loop stops at chunk granularity
+        once ``n_samples`` are accepted, the unfused loop at its dynamic
+        batch estimate).
+        """
+        self.bar = bar
+        eligible = (type(self) is SMC and self.pool is None
+                    and isinstance(self.client, (NativeBackend,
+                                                 ShardedBackend))
+                    and not kwargs)
+        prog = None
+        if eligible:
+            prog = compile_program(self.model, tuple(self.output_names))
+            eligible = not prog.host
+        if fused is None:
+            fused = eligible
+        if fused and not eligible:
+            raise ValueError("fused=True requires: plain SMC, no pool, "
+                             "native/sharded backend, device-traceable "
+                             "model")
+        if not fused:
+            return super().sample(n_samples, thresholds=thresholds,
+                                  quantiles=quantiles, bar=bar, **kwargs)
+        return self._sample_fused(n_samples, thresholds, quantiles, prog)
+
+    def _sample_fused(self, n_samples, thresholds, quantiles, prog):
+        self.set_objective(n_samples, thresholds=thresholds,
+                           quantiles=quantiles)
+        prior_logpdf = self._prior.traceable_logpdf()
+        start = self.state.get("_next_batch_index", 0)
+        pb = _ProgressBar() if self.bar else None
+        while True:
+            rej = self._rejection
+            rej.bar = False
+            ov_spec = None
+            rnd = self.state["round"]
+            if rnd > 0:
+                means, cov, weights = self._gm_params
+                round_seed = get_sub_seed(self.seed, rnd)
+                ov_spec = (
+                    ("gm", tuple(self.parameter_names), self.batch_size),
+                    _gm_overrides_fn(self.parameter_names, self.batch_size,
+                                     prior_logpdf),
+                    (jnp.asarray(means, jnp.float32),
+                     jnp.asarray(cov, jnp.float32),
+                     jnp.asarray(weights, jnp.float32),
+                     jnp.uint32(round_seed)))
+            rej._run_fused(prog, rej.objective.get("threshold"),
+                           seed=self.seed, start_index=start,
+                           overrides_spec=ov_spec)
+            start += rej.state["n_batches"]
+            self.state["n_sim"] += rej.state["n_sim"]
+            self.state["n_batches"] = self.state.get("n_batches", 0) \
+                + rej.state["n_batches"]
+            if pb:
+                pb.update(rnd + 1, self.objective["round"] + 1)
+            if rnd < self.objective["round"]:
+                self._populations.append(self._extract_population())
+                self.state["round"] += 1
+                self._init_new_round()
+            else:
+                break
+        if pb:
+            pb.finish()
+        self.state["_next_batch_index"] = start
+        return self.extract_result()
 
     def set_objective(self, n_samples, thresholds=None, quantiles=None):
         if thresholds is None and quantiles is None:
@@ -486,6 +604,11 @@ class AdaptiveDistanceSMC(SMC):
         super().__init__(model, discrepancy_name, output_names=output_names,
                          **kwargs)
 
+    def sample(self, n_samples, rounds, quantile=0.5, bar=True, **kwargs):
+        # adaptive distances need per-batch host updates -> always unfused
+        return Sampler.sample(self, n_samples, rounds=rounds,
+                              quantile=quantile, bar=bar, **kwargs)
+
     def set_objective(self, n_samples, rounds, quantile=0.5):
         super().set_objective(ceil(n_samples / quantile),
                               quantiles=[1] * rounds)
@@ -545,6 +668,11 @@ class AdaptiveThresholdSMC(SMC):
         self.densratio = densratio_estimation or DensityRatioEstimation(
             n=100, epsilon=0.001, max_iter=200, abs_tol=0.01, fold=5,
             optimize=False)
+
+    def sample(self, n_samples, max_iter=10, bar=True, **kwargs):
+        # threshold selection needs per-round host density-ratio fits
+        return Sampler.sample(self, n_samples, max_iter=max_iter, bar=bar,
+                              **kwargs)
 
     def set_objective(self, n_samples, max_iter=10):
         rounds = max_iter - 1

@@ -172,6 +172,44 @@ class GMDistribution:
         return out
 
     @classmethod
+    def rvs_traced(cls, means, cov, weights, size, prior_logpdf, key):
+        """Fully traceable ``rvs`` for embedding inside fused scans (the
+        prior-support redraw becomes a ``lax.while_loop``).  Mirrors
+        :meth:`rvs`'s key folding exactly, so for the same inputs both
+        paths produce bit-identical draws (tested)."""
+        means, cov, weights = cls._prepare(means, cov, weights)
+        L = jnp.linalg.cholesky(cov)
+
+        def draw(k):
+            k1, k2 = jax.random.split(k)
+            comp = jax.random.choice(k1, means.shape[0], (size,), p=weights)
+            z = jax.random.normal(k2, (size, means.shape[1]))
+            return means[comp] + z @ L.T
+
+        out = draw(key)
+        if prior_logpdf is None:
+            return out
+
+        def ok_of(o):
+            return jnp.isfinite(jnp.asarray(prior_logpdf(o))) \
+                & jnp.all(jnp.isfinite(o), axis=1)
+
+        def cond(c):
+            o, _, i = c
+            return (~jnp.all(ok_of(o))) & (i < 1000)
+
+        def body(c):
+            o, k, i = c
+            k = jax.random.fold_in(k, i + 1)
+            redraw = draw(k)
+            ok = ok_of(o)
+            return jnp.where(ok[:, None], o, redraw), k, i + 1
+
+        out, _, _ = jax.lax.while_loop(cond, body,
+                                       (out, key, jnp.int32(0)))
+        return out
+
+    @classmethod
     def logpdf(cls, x, means, cov=1, weights=None):
         means, cov, weights = cls._prepare(means, cov, weights)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))

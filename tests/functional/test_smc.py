@@ -71,3 +71,52 @@ def test_adaptive_threshold_smc(ma2):
     res = smc.sample(30, max_iter=3, bar=False)
     assert res.n_samples == 30
     assert 1 <= len(res.populations) <= 3
+
+
+def test_gm_rvs_traced_matches_host(ma2):
+    """rvs_traced (fused-SMC proposal path) must reproduce the host rvs
+    draws bit-for-bit, including prior-support redraws."""
+    import jax
+    import jax.numpy as jnp
+    from elfi_tpu.model.extensions import ModelPrior
+    from elfi_tpu.methods.utils import GMDistribution
+
+    prior = ModelPrior(ma2)
+    means = np.array([[0.3, 0.2], [1.5, 0.8]])
+    cov = np.diag([0.4, 0.3])  # wide enough to trigger redraws
+    w = np.array([0.5, 0.5])
+    key = jax.random.key(42)
+    host = GMDistribution.rvs(means, cov, w, size=256,
+                              prior_logpdf=prior.logpdf, key=key)
+    traced = jax.jit(lambda k: GMDistribution.rvs_traced(
+        means, cov, w, 256, prior.traceable_logpdf(), k))(key)
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(traced))
+
+
+def test_smc_fused_equals_unfused_single_round(ma2):
+    """Quantile-mode round 0 has a deterministic batch count, so fused and
+    unfused runs must agree bit-for-bit."""
+    kw = dict(batch_size=500, seed=31)
+    r1 = elfi.SMC(ma2["d"], **kw).sample(100, quantiles=[0.2], bar=False,
+                                         fused=False)
+    r2 = elfi.SMC(ma2["d"], **kw).sample(100, quantiles=[0.2], bar=False,
+                                         fused=True)
+    np.testing.assert_array_equal(r1.samples_array, r2.samples_array)
+
+
+def test_smc_fused_multiround(ma2):
+    """Fused multi-round SMC: deterministic per seed, statistically
+    consistent with the unfused sampler."""
+    kw = dict(batch_size=1000, seed=7)
+    f1 = elfi.SMC(ma2["d"], **kw).sample(500, thresholds=[1.0, 0.5, 0.25],
+                                         bar=False, fused=True)
+    f2 = elfi.SMC(ma2["d"], **kw).sample(500, thresholds=[1.0, 0.5, 0.25],
+                                         bar=False, fused=True)
+    np.testing.assert_array_equal(f1.samples_array, f2.samples_array)
+    assert f1.n_populations == 3
+    assert float(np.max(f1.discrepancies)) <= 0.25
+
+    u = elfi.SMC(ma2["d"], batch_size=1000, seed=8).sample(
+        500, thresholds=[1.0, 0.5, 0.25], bar=False, fused=False)
+    np.testing.assert_allclose(f1.sample_means_array, u.sample_means_array,
+                               atol=0.12)
