@@ -120,3 +120,22 @@ def test_smc_fused_multiround(ma2):
         500, thresholds=[1.0, 0.5, 0.25], bar=False, fused=False)
     np.testing.assert_allclose(f1.sample_means_array, u.sample_means_array,
                                atol=0.12)
+
+
+def test_smc_fused_sharded_equals_native(ma2):
+    """Fused SMC over the 8-device mesh must match the single-device fused
+    run exactly (quantile round: deterministic batch count)."""
+    from elfi_tpu.parallel.backends import (NativeBackend, ShardedBackend,
+                                            set_client)
+    kw = dict(batch_size=800, seed=13)
+    set_client(NativeBackend())
+    r_native = elfi.SMC(ma2["d"], **kw).sample(100, quantiles=[0.2],
+                                               bar=False, fused=True)
+    set_client(ShardedBackend())
+    try:
+        r_shard = elfi.SMC(ma2["d"], **kw).sample(100, quantiles=[0.2],
+                                                  bar=False, fused=True)
+    finally:
+        set_client(NativeBackend())
+    np.testing.assert_array_equal(r_native.samples_array,
+                                  r_shard.samples_array)
