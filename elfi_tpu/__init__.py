@@ -26,8 +26,12 @@ from .methods import (BOLFI, BOLFIRE, BSL, ROMC, SMC, AdaptiveDistanceSMC,  # no
                       AdaptiveThresholdSMC, BayesianOptimization,
                       GPRegression, ModelBased, OptimizationResult,
                       ParameterInference, Rejection, Sample, SmcSample)
+from .methods.results import (BolfiSample, BolfireSample, BslSample,  # noqa: F401
+                              RomcSample)
+from .methods import mcmc  # noqa: F401
 from .store import ArrayPool, OutputPool  # noqa: F401
-from .visualization import draw, nx_draw  # noqa: F401
+from .visualization import (draw, nx_draw, plot_params_vs_node,  # noqa: F401
+                            plot_predicted_summaries)
 from .model import tools  # noqa: F401
 from .methods import (LinearAdjustment, TwoStageSelection,  # noqa: F401
                       adjust_posterior, compare_models)
