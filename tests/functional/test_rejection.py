@@ -93,3 +93,23 @@ def test_sharded_fused_equals_native_fused(ma2):
                                        rtol=1e-5, atol=1e-6)
     finally:
         elfi.set_client(pre)
+
+
+def test_multihost_backend_single_process(ma2):
+    """MultihostBackend degrades to the native path in a 1-process job and
+    must produce identical results (batches are pure functions of
+    (seed, batch_index) on every backend)."""
+    from elfi_tpu.parallel.backends import NativeBackend, set_client
+    from elfi_tpu.parallel.multihost import MultihostBackend
+
+    set_client(NativeBackend())
+    r_native = elfi.Rejection(ma2["d"], batch_size=300, seed=21).sample(
+        30, n_sim=900, bar=False, fused=False)
+    set_client(MultihostBackend())
+    try:
+        assert elfi.get_client().num_processes == 1
+        r_mh = elfi.Rejection(ma2["d"], batch_size=300, seed=21).sample(
+            30, n_sim=900, bar=False)
+    finally:
+        set_client(NativeBackend())
+    np.testing.assert_array_equal(r_native.samples_array, r_mh.samples_array)
