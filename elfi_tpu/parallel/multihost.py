@@ -40,39 +40,37 @@ class MultihostBackend(BackendBase):
 
     def _launch(self, program, seed, batch_index, overrides, batch_size):
         owner = batch_index % self.num_processes
+        if program.host and self.num_processes > 1:
+            # host graphs (external binaries, numpy sims) have no
+            # eval_shape, so every host computes the batch redundantly --
+            # deterministic (pure function of seed/batch_index) and gather
+            # free; per-host parallelism for these comes from the
+            # multiprocessing backend within each host
+            owner = self.process_index
         if owner == self.process_index:
             result = program.run(jax.random.key(seed), batch_index,
                                  overrides, batch_size)
         else:
             result = None
-        return (owner, batch_index, result)
+        return (owner, result, program, overrides, batch_size)
 
     def _materialize(self, handle):
         if isinstance(handle, tuple) and handle and handle[0] == "thunk":
             _, fn, args, kwargs = handle
             return fn(*args, **kwargs)
-        owner, batch_index, result = handle
-        if self.num_processes == 1:
+        owner, result, program, overrides, batch_size = handle
+        if self.num_processes == 1 or (program.host and result is not None):
             return jax.block_until_ready(result)
+        # SPMD contract: every host materializes every batch in the same
+        # order, so this allgather is collective.  Non-owners contribute
+        # zero placeholders shaped by a local eval_shape of the program.
         from jax.experimental import multihost_utils
+        import jax.numpy as jnp
         if result is None:
-            # receive the owner's arrays; shapes are known from a local
-            # eval_shape of the same program, so build zero placeholders
-            raise RuntimeError(
-                "MultihostBackend: non-owner host asked to materialize a "
-                "batch before the broadcast step; use gather_batch()")
-        return jax.block_until_ready(result)
-
-    def gather_batch(self, handle, shapes):
-        """All-gather a batch computed by its owner host to every host.
-
-        ``shapes`` is a dict of ShapeDtypeStructs from
-        ``jax.eval_shape`` of the program (identical on all hosts).
-        """
-        from jax.experimental import multihost_utils
-        owner, batch_index, result = handle
-        if result is None:
+            fn = program.traceable(batch_size)
+            shapes = jax.eval_shape(fn, jax.eval_shape(jax.random.key, 0),
+                                    jnp.uint32(0), overrides)
             result = {k: np.zeros(v.shape, v.dtype)
                       for k, v in shapes.items()}
-        # sum-gather: non-owners contribute zeros
-        return multihost_utils.process_allgather(result)
+        gathered = multihost_utils.process_allgather(result)
+        return {k: np.asarray(v)[owner] for k, v in gathered.items()}

@@ -1,0 +1,78 @@
+"""Multi-host DCN farming: a REAL 2-process ``jax.distributed`` job on CPU
+(reference scales out with ipyparallel/dask task farms; here each host owns
+batch indices round-robin and results allgather — SURVEY.md §2.2/§5).
+
+The child processes run the same Rejection inference SPMD; the test
+asserts both hosts produce the identical result, equal to a single-process
+native run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+coord, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+import numpy as np
+import elfi_tpu as elfi
+from elfi_tpu.models import ma2
+from elfi_tpu.parallel.multihost import MultihostBackend
+
+elfi.set_client(MultihostBackend())
+assert elfi.get_client().num_processes == 2
+m = ma2.get_model(seed_obs=4)
+res = elfi.Rejection(m["d"], batch_size=200, seed=17).sample(
+    20, n_sim=1000, bar=False)
+np.save(sys.argv[3], res.samples_array)
+print("WORKER_OK")
+"""
+
+
+def test_two_process_multihost(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    outs = [str(tmp_path / f"out{i}.npy") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, coord, str(i), outs[i]],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        logs.append(out.decode())
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0 and "WORKER_OK" in log, \
+            f"worker {i} failed:\n{log[-3000:]}"
+
+    a, b = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(a, b)  # both hosts see the same result
+
+    # equal to the single-process native run
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+    m = ma2.get_model(seed_obs=4)
+    ref = elfi.Rejection(m["d"], batch_size=200, seed=17).sample(
+        20, n_sim=1000, bar=False, fused=False)
+    np.testing.assert_array_equal(ref.samples_array, a)
