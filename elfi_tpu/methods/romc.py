@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..compile.compiler import compile_program
 from ..model.extensions import ModelPrior
+from ..utils import get_sub_seed
 from .base import ParameterInference, _ProgressBar
 from .results import RomcSample
 from .utils import compute_ess, flat_array_to_dict
@@ -593,6 +594,8 @@ class ROMC(ParameterInference):
         self.discrepancy_name = discrepancy_name
         self.model_prior = ModelPrior(self.model)
         self.dim = self.model_prior.dim
+        if isinstance(bounds, dict):  # reference accepts a name-keyed dict
+            bounds = [bounds[p] for p in self.model.parameter_names]
         self.bounds = bounds
         self.left_lim = np.array([b[0] for b in bounds], float) \
             if bounds is not None else None
@@ -676,20 +679,37 @@ class ROMC(ParameterInference):
         if x0 is None:
             x0 = np.asarray(self.model_prior.rvs(size=n1, seed=seed))
         x0 = jnp.asarray(np.atleast_2d(x0), jnp.float32)
+        restarts = int(kwargs.get("restarts", 5))
+        if restarts > 1:
+            # extra prior-drawn starts per problem; all (n1 x restarts)
+            # descents run in ONE vmapped program and the per-problem best
+            # is kept — multi-start is what makes gradient solves robust on
+            # multi-modal objectives (e.g. 4-d g-and-k)
+            extra = np.asarray(self.model_prior.rvs(
+                size=n1 * (restarts - 1),
+                seed=int(get_sub_seed(seed, 0xA11)))).reshape(
+                    n1, restarts - 1, self.dim)
+            x0 = jnp.concatenate(
+                [x0[:, None, :], jnp.asarray(extra, jnp.float32)], axis=1)
+        else:
+            x0 = x0[:, None, :]
         keys = jnp.stack([p.key for p in self.optim_problems])
         lo, hi = _bounds_arrays(self.bounds, self.dim)
         obj = self._objective
 
         @jax.jit
         def solve_all(keys, x0s):
-            def one(key, x0_):
-                x, f = _adam_minimize(lambda t: obj(t, key), x0_, steps, lr,
-                                      lo, hi)
+            def one(key, starts):
+                xr, fr = jax.vmap(lambda s: _adam_minimize(
+                    lambda t: obj(t, key), s, steps, lr, lo, hi))(starts)
+                b = jnp.argmin(fr)
+                x, f = xr[b], fr[b]
                 h = jax.hessian(lambda t: obj(t, key))(x)
                 return x, f, h
             return jax.vmap(one)(keys, x0s)
 
         xs, fs, hs = solve_all(keys, x0)
+        x0 = x0[:, 0, :]
         xs, fs, hs = np.asarray(xs), np.asarray(fs), np.asarray(hs)
         solved, attempted = [], []
         for i, prob in enumerate(self.optim_problems):

@@ -105,3 +105,22 @@ def test_romc_2d(ma2):
     res = romc.sample(n2=20, seed=3)
     assert res.samples["t1"].shape == (len(romc.posterior.regions) * 20,)
     assert np.sum(res.weights) > 0
+
+
+def test_romc_gnk_end_to_end():
+    """BASELINE.md config: ROMC on the 4-d g-and-k model (dict bounds,
+    multi-restart gradient solves)."""
+    from elfi_tpu.models import gnk
+
+    m = gnk.get_model(n_obs=50, seed_obs=2)
+    romc = elfi.ROMC(m["d"], bounds={p: (0.0, 10.0)
+                                     for p in m.parameter_names}, seed=3)
+    romc.solve_problems(n1=20, use_bo=False)
+    eps = romc.compute_eps(0.5)
+    assert np.isfinite(eps)
+    romc.estimate_regions(eps_filter=eps)
+    res = romc.sample(n2=10)
+    means = res.sample_means
+    assert set(means) == set(m.parameter_names)
+    for v in means.values():
+        assert np.all(np.isfinite(np.asarray(v)))
