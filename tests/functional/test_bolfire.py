@@ -50,3 +50,21 @@ def test_bolfire_sample(bolfire_fitted):
     res = bolfire_fitted.sample(200, n_chains=2, bar=False)
     assert res.chains.shape == (2, 200, 2)
     assert np.all(np.abs(res.sample_means_array) < 3)
+
+
+def test_bolfire_gnk_smoke():
+    """BASELINE.md config: BOLFIRE runs end-to-end on 4-d g-and-k (tiny
+    budget — mechanics only, not posterior quality)."""
+    from elfi_tpu.models import gnk
+
+    m = gnk.get_model(n_obs=50, seed_obs=2)
+    bolfire = elfi.BOLFIRE(m, n_training_data=100,
+                           feature_names=["ss_order"],
+                           bounds={p: (0.0, 10.0)
+                                   for p in m.parameter_names},
+                           n_initial_evidence=8, seed=5)
+    bolfire.fit(n_evidence=12, bar=False)
+    res = bolfire.sample(100, n_chains=2, bar=False)
+    arr = res.samples_array
+    assert arr.shape[1] == 4 and np.all(np.isfinite(arr))
+    assert np.all((arr >= 0.0) & (arr <= 10.0))
