@@ -96,3 +96,15 @@ def test_bayesian_optimization_result(ma2_log):
     res = bo.infer(20, bar=False)
     assert isinstance(res, elfi.OptimizationResult)
     assert "log_d" in res.outputs
+
+
+def test_expintvar(fitted_bolfi):
+    from elfi_tpu.methods.bo.acquisition import ExpIntVar
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+    acq = ExpIntVar(gp, prior=prior, seed=0)
+    pts = acq.acquire(1, t=1)
+    assert pts.shape == (1, 2)
+    for i, b in enumerate(gp.bounds):
+        assert np.all(pts[:, i] >= b[0]) and np.all(pts[:, i] <= b[1])
