@@ -82,16 +82,21 @@ class BackendBase:
         bit-identical across backends for a given seed."""
         tid = self._next
         self._next += 1
-        self._tasks[tid] = self._launch(program, seed, batch_index,
-                                        overrides, batch_size)
+        try:
+            self._tasks[tid] = self._launch(program, seed, batch_index,
+                                            overrides, batch_size)
+        except Exception as e:  # defer: surfaces at get_result, where the
+            self._tasks[tid] = ("__error__", e)  # BatchHandler retry lives
         return tid
 
     def _launch(self, program, seed, batch_index, overrides, batch_size):
         raise NotImplementedError
 
     def get_result(self, task_id):
-        res = self._materialize(self._tasks.pop(task_id))
-        return res
+        handle = self._tasks.pop(task_id)
+        if isinstance(handle, tuple) and handle and handle[0] == "__error__":
+            raise handle[1]
+        return self._materialize(handle)
 
     def _materialize(self, handle):
         return handle

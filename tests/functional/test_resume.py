@@ -101,3 +101,49 @@ def test_model_save_load_roundtrip(ma2, tmp_path):
     r2 = elfi.Rejection(loaded["d"], batch_size=100, seed=5).sample(
         10, n_sim=200, bar=False)
     np.testing.assert_allclose(r1.samples_array, r2.samples_array)
+
+
+_FLAKY = {"fail_next": 0, "calls": 0}
+
+
+def _flaky_sim(t1, batch_size=1, random_state=None):
+    """Host simulator that raises while the fail budget lasts — exercises
+    deterministic resubmission (SURVEY.md §5: failed batch indices are
+    replayable by construction of the counter RNG)."""
+    _FLAKY["calls"] += 1
+    if _FLAKY["fail_next"] > 0:
+        _FLAKY["fail_next"] -= 1
+        raise RuntimeError("transient simulator failure")
+    t1 = np.atleast_1d(np.asarray(t1, dtype=np.float64))
+    return t1[:, None] + random_state.normal(size=(batch_size, 4))
+
+
+def _flaky_model():
+    m = elfi.Model(name="flaky")
+    elfi.Prior("uniform", 0, 1, model=m, name="t1")
+    sim = elfi.Simulator(elfi.tools.mark_host(_flaky_sim), m["t1"],
+                         observed=np.full((1, 4), 0.5), model=m, name="sim")
+    s = elfi.Summary(lambda x: np.mean(np.asarray(x), axis=1,
+                                       keepdims=True), sim, model=m,
+                     name="S")
+    elfi.Distance("euclidean", s, model=m, name="d")
+    return m
+
+
+def test_failed_batch_is_resubmitted_deterministically():
+    m = _flaky_model()
+    _FLAKY.update(fail_next=0, calls=0)
+    clean = elfi.Rejection(m["d"], batch_size=20, seed=3).sample(
+        5, n_sim=100, bar=False)
+
+    _FLAKY.update(fail_next=2, calls=0)  # first two executions die
+    recovered = elfi.Rejection(m["d"], batch_size=20, seed=3).sample(
+        5, n_sim=100, bar=False)
+    np.testing.assert_array_equal(clean.samples_array,
+                                  recovered.samples_array)
+
+    _FLAKY.update(fail_next=10**6)  # permanent failure -> hard error
+    with pytest.raises(RuntimeError):
+        elfi.Rejection(m["d"], batch_size=20, seed=4).sample(
+            5, n_sim=100, bar=False)
+    _FLAKY.update(fail_next=0)
