@@ -85,6 +85,32 @@ def _bench_smc_gauss2d():
     return round(wall, 2), means
 
 
+def _bench_bsl_ma2():
+    """MA2 BSL with Warton shrinkage (BASELINE.md config): the whole
+    1000-iteration MH chain (proposals, per-round 500-sim batches,
+    synthetic likelihood, accepts) runs as ONE jitted lax.scan."""
+    import numpy as np
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+
+    m = ma2.get_model(seed_obs=4)
+    lik = elfi.methods.bsl.standard_likelihood(shrinkage="warton",
+                                               penalty=0.3)
+    kw = dict(n_sim_round=500, feature_names=["S1", "S2"], likelihood=lik)
+    elfi.BSL(m, seed=3, **kw).sample(       # warmup/compile
+        1000, sigma_proposals=np.diag([.05, .05]),
+        params0=np.array([[.6, .2]]), burn_in=200, bar=False)
+    bsl = elfi.BSL(m, seed=4, **kw)
+    t0 = time.perf_counter()
+    res = bsl.sample(1000, sigma_proposals=np.diag([.05, .05]),
+                     params0=np.array([[.6, .2]]), burn_in=200, bar=False)
+    wall = time.perf_counter() - t0
+    means = {k: round(float(np.ravel(v)[0]), 3)
+             for k, v in res.sample_means.items()}
+    return round(wall, 2), means
+
+
 def main():
     import jax
     from elfi_tpu.utils import setup_performance_cache
@@ -99,6 +125,7 @@ def main():
     # BOLFI first (threefry: jax.random.poisson needs it) ...
     bolfi_s, bolfi_means = _bench_bolfi_ricker()
     smc_s, smc_means = _bench_smc_gauss2d()
+    bsl_s, bsl_means = _bench_bsl_ma2()
 
     # ... then the rejection benchmark with the hardware RNG (~1.4x faster
     # normal generation than threefry on TPU; still fully deterministic
@@ -143,6 +170,8 @@ def main():
             "bolfi_ricker_target_s": 60.0,
             "smc_gauss2d_total_s": smc_s,
             "smc_gauss2d_posterior_means": smc_means,
+            "bsl_ma2_warton_1000iter_total_s": bsl_s,
+            "bsl_ma2_posterior_means": bsl_means,
             "n_sim": n_sim,
             "wall_s": round(wall, 3),
             "batch_size": batch_size,

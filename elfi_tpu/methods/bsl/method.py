@@ -50,9 +50,26 @@ class BSL(ModelBased):
 
     def sample(self, n_samples, sigma_proposals, params0=None,
                param_names=None, burn_in=0, logit_transform_bound=None,
-               tau=0.5, w=1, max_iter=1000, **kwargs):
+               tau=0.5, w=1, max_iter=1000, fused=None, bar=True, **kwargs):
         """Run the MH chain for ``n_samples`` rounds (reference
-        ``bsl.py:69-124``)."""
+        ``bsl.py:69-124``).
+
+        ``fused=True`` (default when eligible) runs the WHOLE chain —
+        proposal, per-round simulation batch, synthetic-likelihood
+        estimate, MH accept — as one jitted ``lax.scan``: a remote-attached
+        chip then pays one dispatch for the entire run instead of one per
+        MCMC iteration.  Eligible when the estimator has a traceable form
+        (standard/Warton/unbiased), there is no misspecification
+        adjustment, no pool, and ``batch_size == n_sim_round``.  The fused
+        chain uses counter-based device RNG for proposals/accepts, so it is
+        deterministic per seed but not bit-identical to the host chain
+        (which uses numpy RandomState); agreement is statistical, as in the
+        reference's own tests.
+        """
+        from ...compile.compiler import compile_program
+        from ...parallel.backends import NativeBackend, ShardedBackend
+        from .pdf_methods import traceable_likelihood
+
         self.sigma_proposals = np.atleast_2d(sigma_proposals)
         self.param_names = param_names
         self.prior = ModelPrior(self.model,
@@ -66,7 +83,35 @@ class BSL(ModelBased):
         else:
             gamma0 = None
         self._init_state(n_samples, params0, gamma0)
-        return self.infer(n_samples, **kwargs)
+
+        loglik_t = None if self.is_misspec \
+            else traceable_likelihood(self.likelihood)
+        eligible = (loglik_t is not None and self.pool is None
+                    and self.batch_size == self.n_sim_round
+                    and isinstance(self.client, (NativeBackend,
+                                                 ShardedBackend))
+                    and not kwargs)
+        prog = None
+        if eligible:
+            # parameter nodes must be DECLARED overrides at compile time:
+            # undeclared overrides are silently ignored by the trace
+            prog = compile_program(
+                self.model, tuple(self.feature_names),
+                override_names=tuple(sorted(self.parameter_names)))
+            eligible = not prog.host
+        if fused is None:
+            fused = eligible
+        if fused and not eligible:
+            raise ValueError(
+                "fused=True requires a traceable estimator (standard/"
+                "Warton/unbiased), no misspecification adjustment, no "
+                "pool, batch_size == n_sim_round and a device-traceable "
+                "model")
+        if not fused:
+            return self.infer(n_samples, bar=bar, **kwargs)
+        self.bar = bar
+        self._run_fused(n_samples, prog, loglik_t)
+        return self.extract_result()
 
     def _resolve_gamma_sampler(self, tau, w, max_iter):
         adjustment = self.likelihood.keywords["adjustment"]
@@ -201,6 +246,89 @@ class BSL(ModelBased):
                 mean, self.sigma_proposals)
         return np.atleast_2d(prop)
 
+    def _run_fused(self, n_samples, prog, loglik_t):
+        """One jitted lax.scan over the whole MH chain."""
+        import jax
+        import jax.numpy as jnp
+
+        d = len(self.parameter_names)
+        pnames = list(self.parameter_names)
+        feats = list(self.feature_names)
+        B = self.batch_size
+        fn = prog.traceable(B)
+        observed = jnp.asarray(np.asarray(self.observed, np.float64).ravel(),
+                               jnp.float32)
+        Lprop = jnp.linalg.cholesky(jnp.asarray(self.sigma_proposals,
+                                                jnp.float32))
+        prior_logpdf = self.prior.traceable_logpdf()
+        to_tilde, back, jac = _traceable_logit(self.logit_transform_bound, d)
+        burn_in = self.burn_in
+
+        def loglik_of(master_key, theta, i):
+            ov = {p: jnp.broadcast_to(theta[j], (B,))
+                  for j, p in enumerate(pnames)}
+            out = fn(master_key, i, ov)
+            sx = jnp.column_stack([jnp.asarray(out[f]).reshape(B, -1)
+                                   for f in feats])
+            ll = loglik_t(sx, observed)
+            return jnp.where(jnp.all(jnp.isfinite(sx)), ll, -jnp.inf)
+
+        def chain(seed, params0):
+            master = jax.random.key(seed)
+            chain_key = jax.random.fold_in(master, 0xB51)
+            lp0 = prior_logpdf(params0[None, :])[0]
+            post0 = loglik_of(master, params0, jnp.uint32(0)) + lp0
+
+            def step(carry, i):
+                theta, logpost = carry
+                kp, ka = jax.random.split(jax.random.fold_in(chain_key, i))
+                draw = to_tilde(theta) + Lprop @ jax.random.normal(kp, (d,))
+                prop = back(draw)
+                lp = prior_logpdf(prop[None, :])[0]
+                ll = loglik_of(master, prop, i)
+                post = ll + lp
+                ratio = post - logpost + jac(prop) - jac(theta)
+                u = jax.random.uniform(ka)
+                accept = (jnp.log(u) < jnp.clip(ratio, -700, 700)) \
+                    & jnp.isfinite(post)
+                theta = jnp.where(accept, prop, theta)
+                logpost = jnp.where(accept, post, logpost)
+                counted = accept & (i >= burn_in)
+                return (theta, logpost), (theta, logpost, counted)
+
+            idx = jnp.arange(1, n_samples, dtype=jnp.uint32)
+            (_, _), (thetas, posts, counted) = jax.lax.scan(
+                step, (params0, post0), idx)
+            thetas = jnp.concatenate([params0[None, :], thetas])
+            posts = jnp.concatenate([post0[None], posts])
+            return thetas, posts, jnp.sum(counted)
+
+        lik = self.likelihood
+        if isinstance(lik, partial):
+            kwt = tuple(sorted(
+                (k, v.tobytes() if hasattr(v, "tobytes") else v)
+                for k, v in lik.keywords.items()))
+            lik_tag = (lik.func.__name__, kwt)
+        else:
+            lik_tag = getattr(lik, "__name__", repr(lik))
+        cache = prog.__dict__.setdefault("_fused_bsl", {})
+        key_ = (B, n_samples, tuple(pnames), tuple(feats),
+                lik_tag, self.burn_in,
+                self.sigma_proposals.tobytes(),
+                None if self.logit_transform_bound is None
+                else self.logit_transform_bound.tobytes())
+        if key_ not in cache:
+            cache[key_] = jax.jit(chain)
+        thetas, posts, n_acc = jax.device_get(cache[key_](
+            jnp.uint32(self.seed),
+            jnp.asarray(self.state["params"][0], jnp.float32)))
+        self.state["params"][:] = thetas
+        self.state["logposterior"][:] = posts
+        self.state["n_samples"] = n_samples
+        self.num_accepted = int(n_acc)
+        self.state["n_sim"] = n_samples * B
+        self.state["n_batches"] = n_samples
+
     def _get_mh_ratio(self):
         n = self.state["n_samples"]
         res = self.state["logposterior"][n] - \
@@ -211,6 +339,47 @@ class BSL(ModelBased):
                 _logit_jacobian(self.state["params"][n - 1],
                                 self.logit_transform_bound)
         return np.exp(np.clip(res, -700, 700))
+
+
+def _traceable_logit(bound, d):
+    """jnp versions of the logit transform triple (to-tilde, back,
+    log-Jacobian) with the per-coordinate bound types baked in statically."""
+    import jax.numpy as jnp
+
+    if bound is None:
+        return (lambda x: x), (lambda y: y), (lambda x: jnp.float32(0.0))
+    a = np.asarray(bound[:, 0], np.float64)
+    b = np.asarray(bound[:, 1], np.float64)
+    t = _bound_types(bound)
+    M0 = jnp.asarray(t == 0)
+    M1 = jnp.asarray(t == 1)
+    M2 = jnp.asarray(t == 2)
+    a_s = jnp.asarray(np.where(np.isfinite(a), a, 0.0), jnp.float32)
+    b_s = jnp.asarray(np.where(np.isfinite(b), b, 1.0), jnp.float32)
+    eps = 1e-12
+
+    def to_tilde(x):
+        v0 = jnp.log(jnp.maximum(x - a_s, eps)
+                     / jnp.maximum(b_s - x, eps))
+        v1 = -jnp.log(jnp.maximum(b_s - x, eps))
+        v2 = jnp.log(jnp.maximum(x - a_s, eps))
+        return jnp.where(M0, v0, jnp.where(M1, v1, jnp.where(M2, v2, x)))
+
+    def back(y):
+        ey = jnp.exp(y)
+        v0 = a_s / (1 + ey) + b_s / (1 + 1 / ey)
+        v1 = b_s - 1 / ey
+        v2 = a_s + ey
+        return jnp.where(M0, v0, jnp.where(M1, v1, jnp.where(M2, v2, y)))
+
+    def jac(x):
+        y = to_tilde(x)
+        ey = jnp.exp(y)
+        j0 = jnp.log(b_s - a_s) - jnp.log(1 / ey + 2 + ey)
+        j = jnp.where(M0, j0, jnp.where(M1 | M2, y, 0.0))
+        return jnp.sum(j)
+
+    return to_tilde, back, jac
 
 
 def _bound_types(bound):

@@ -188,3 +188,79 @@ def syn_likelihood_misspec(ssx, ssy, gamma, adjustment):
     else:
         raise ValueError("adjustment must be 'mean' or 'variance'")
     return _mvn_logpdf(ssy, mean, cov)
+
+
+# -- traceable (device) estimators for the fused BSL chain -------------------
+
+def _t_mvn_logpdf(y, mean, cov):
+    """jnp MVN logpdf; -inf when the covariance is not PD (the Cholesky
+    yields NaNs, mirroring ``_mvn_logpdf``'s failure path)."""
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+    d = y.shape[0]
+    L = jnp.linalg.cholesky(cov)
+    sol = jsl.solve_triangular(L, y - mean, lower=True)
+    val = -0.5 * (d * jnp.log(2 * jnp.pi)
+                  + 2 * jnp.sum(jnp.log(jnp.diag(L)))
+                  + jnp.sum(sol * sol))
+    return jnp.where(jnp.isfinite(val), val, -jnp.inf)
+
+
+def _t_cov_warton(S, gamma):
+    import jax.numpy as jnp
+    d = jnp.sqrt(jnp.diag(S) + 1e-5)
+    R = S / jnp.outer(d, d)
+    ns = S.shape[0]
+    return (gamma * R + (1 - gamma) * jnp.eye(ns)) * jnp.outer(d, d)
+
+
+def _t_ghurye_olkin(ssx, ssy):
+    import jax.numpy as jnp
+    n, d = ssx.shape
+    mu = jnp.mean(ssx, axis=0)
+    sigma = jnp.atleast_2d(jnp.cov(ssx.T))
+    diff = (ssy - mu)[:, None]
+    psi = (n - 1) * sigma - diff @ diff.T / (1 - 1 / n)
+    sign_s, logdet_sigma = jnp.linalg.slogdet(sigma)
+    sign_p, logdet_psi = jnp.linalg.slogdet(psi)
+    A = wcon(d, n - 2) - wcon(d, n - 1) - 0.5 * d * math.log(1 - 1 / n)
+    B = -0.5 * (n - d - 2) * (d * math.log(n - 1) + logdet_sigma)
+    C = 0.5 * (n - d - 3) * logdet_psi
+    val = -0.5 * d * math.log(2 * math.pi) + A + B + C
+    return jnp.where((sign_p > 0) & jnp.isfinite(val), val, -jnp.inf)
+
+
+def traceable_likelihood(likelihood):
+    """jnp-traceable ``(ssx, ssy) -> scalar loglik`` equivalent of a host
+    estimator for embedding in the fused BSL scan, or ``None`` when the
+    estimator has no traceable form (glasso shrinkage, semiparametric KDE,
+    misspecification adjustments stay on the host path)."""
+    import jax.numpy as jnp
+
+    if likelihood is None or likelihood is gaussian_syn_likelihood:
+        fn, kw = gaussian_syn_likelihood, {}
+    elif likelihood is gaussian_syn_likelihood_ghurye_olkin:
+        return _t_ghurye_olkin
+    elif isinstance(likelihood, partial) \
+            and likelihood.func is gaussian_syn_likelihood:
+        fn, kw = gaussian_syn_likelihood, dict(likelihood.keywords)
+    else:
+        return None
+    shrinkage = kw.get("shrinkage")
+    penalty = kw.get("penalty")
+    whitening = kw.get("whitening")
+    if shrinkage not in (None, "warton") or kw.get("standardise", False):
+        return None
+    W = None if whitening is None else jnp.asarray(whitening, jnp.float32)
+
+    def fn_t(ssx, ssy):
+        if W is not None:
+            ssy = W @ ssy
+            ssx = ssx @ W.T
+        mean = jnp.mean(ssx, axis=0)
+        cov = jnp.atleast_2d(jnp.cov(ssx, rowvar=False))
+        if shrinkage == "warton":
+            cov = _t_cov_warton(cov, 1 - penalty)
+        return _t_mvn_logpdf(ssy, mean, cov)
+
+    return fn_t

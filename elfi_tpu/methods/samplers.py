@@ -232,8 +232,10 @@ class Rejection(Sampler):
         thr0 = np.asarray(threshold, np.float32) if thr_given \
             else np.float32(np.inf)
 
-        shapes = jax.eval_shape(fn, jax.eval_shape(jax.random.key, 0),
-                                jnp.uint32(0), {})
+        shapes = jax.eval_shape(
+            fn, jax.eval_shape(jax.random.key, 0), jnp.uint32(0),
+            jax.eval_shape(lambda a: ov_fn(a, jnp.uint32(0)), ov_args)
+            if ov_fn else {})
 
         def init_buffers():
             buffers = {k: (jnp.full((n,) + v.shape[1:], jnp.inf, jnp.float32)
@@ -420,6 +422,12 @@ class SMC(Sampler):
         self.set_objective(n_samples, thresholds=thresholds,
                            quantiles=quantiles)
         prior_logpdf = self._prior.traceable_logpdf()
+        # rounds > 0 need the parameter nodes DECLARED as overrides at
+        # compile time -- an undeclared override is silently ignored by the
+        # traced program (overrides cut the trace at those nodes)
+        prog_prop = compile_program(
+            self.model, tuple(self.output_names),
+            override_names=tuple(sorted(self.parameter_names)))
         start = self.state.get("_next_batch_index", 0)
         pb = _ProgressBar() if self.bar else None
         while True:
@@ -438,7 +446,8 @@ class SMC(Sampler):
                      jnp.asarray(cov, jnp.float32),
                      jnp.asarray(weights, jnp.float32),
                      jnp.uint32(round_seed)))
-            rej._run_fused(prog, rej.objective.get("threshold"),
+            rej._run_fused(prog if rnd == 0 else prog_prop,
+                           rej.objective.get("threshold"),
                            seed=self.seed, start_index=start,
                            overrides_spec=ov_spec)
             start += rej.state["n_batches"]

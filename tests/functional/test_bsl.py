@@ -116,3 +116,52 @@ class TestBslSampling:
                            shrinkage="warton", penalty=0.5, whitening=W))
         res = bsl.sample(5, sigma_proposals=np.eye(2) * 0.1, bar=False)
         assert res.n_samples == 5
+
+
+class TestFusedBSL:
+    def _run(self, ma2, fused, seed=4, likelihood=None, bound=None):
+        bsl = elfi.BSL(ma2, n_sim_round=300, feature_names=["S1", "S2"],
+                       seed=seed, likelihood=likelihood)
+        return bsl.sample(120, sigma_proposals=np.diag([.05, .05]),
+                          params0=np.array([[.6, .2]]), burn_in=20,
+                          logit_transform_bound=bound, fused=fused,
+                          bar=False)
+
+    def test_fused_deterministic(self, ma2):
+        r1 = self._run(ma2, fused=True)
+        r2 = self._run(ma2, fused=True)
+        np.testing.assert_array_equal(r1.samples_array, r2.samples_array)
+        r3 = self._run(ma2, fused=True, seed=5)
+        assert not np.array_equal(r1.samples_array, r3.samples_array)
+
+    def test_fused_statistically_matches_host(self, ma2):
+        f = self._run(ma2, fused=True)
+        u = self._run(ma2, fused=False)
+        # different RNG streams (device vs numpy) -> statistical agreement
+        np.testing.assert_allclose(f.sample_means_array,
+                                   u.sample_means_array, atol=0.15)
+        assert 0.05 < f.meta["acc_rate"] < 1.0
+
+    def test_fused_warton_and_unbiased(self, ma2):
+        from elfi_tpu.methods.bsl import (standard_likelihood,
+                                          unbiased_likelihood)
+        f1 = self._run(ma2, fused=True,
+                       likelihood=standard_likelihood(shrinkage="warton",
+                                                      penalty=0.3))
+        f2 = self._run(ma2, fused=True, likelihood=unbiased_likelihood())
+        for f in (f1, f2):
+            assert np.all(np.isfinite(f.samples_array))
+
+    def test_fused_logit_transform(self, ma2):
+        bound = np.array([[-1.0, 1.0], [-1.0, 1.0]])
+        f = self._run(ma2, fused=True, bound=bound)
+        u = self._run(ma2, fused=False, bound=bound)
+        assert np.all((f.samples_array > -1) & (f.samples_array < 1))
+        np.testing.assert_allclose(f.sample_means_array,
+                                   u.sample_means_array, atol=0.15)
+
+    def test_semiparametric_stays_host(self, ma2):
+        from elfi_tpu.methods.bsl import semiparametric_likelihood
+        with pytest.raises(ValueError):
+            self._run(ma2, fused=True,
+                      likelihood=semiparametric_likelihood())
