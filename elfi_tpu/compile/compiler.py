@@ -126,6 +126,13 @@ class CompiledProgram:
         override_names = self.override_names
 
         def fn(master_key, batch_index, overrides):
+            unknown = set(overrides) - set(override_names)
+            if unknown:
+                raise ValueError(
+                    f"Overrides {sorted(unknown)} were not declared at "
+                    f"compile time (declared: {sorted(override_names)}); "
+                    "undeclared overrides would be silently ignored -- "
+                    "compile with override_names including them")
             key = jax.random.fold_in(master_key, batch_index)
             meta = {"batch_index": batch_index, "batch_size": batch_size,
                     "model_name": model_name, "submission_index": batch_index}

@@ -86,3 +86,17 @@ def test_serialization_roundtrip(ma2, tmp_path):
     a = prog.run(jax.random.key(3), 0, {}, batch_size=4)["d"]
     b = prog2.run(jax.random.key(3), 0, {}, batch_size=4)["d"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_undeclared_override_raises(ma2):
+    """Regression guard: passing overrides the program was not compiled
+    with must fail loudly instead of being silently ignored."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from elfi_tpu.compile.compiler import compile_program
+
+    prog = compile_program(ma2, ("d",))
+    fn = prog.traceable(8)
+    with pytest.raises(ValueError, match="not declared"):
+        fn(jax.random.key(0), jnp.uint32(0), {"t1": jnp.zeros(8)})
