@@ -399,7 +399,20 @@ class SMC(Sampler):
         batch estimate).
         """
         self.bar = bar
-        eligible = (type(self) is SMC and self.pool is None
+        fused, prog = self._resolve_fused(fused, kwargs)
+        if not fused:
+            return super().sample(n_samples, thresholds=thresholds,
+                                  quantiles=quantiles, bar=bar, **kwargs)
+        return self._sample_fused(
+            n_samples, dict(thresholds=thresholds, quantiles=quantiles),
+            prog)
+
+    # adaptive DISTANCES need per-batch host updates (never fused);
+    # adaptive thresholds only do host work BETWEEN rounds (fusable)
+    _fused_capable = True
+
+    def _resolve_fused(self, fused, kwargs):
+        eligible = (self._fused_capable and self.pool is None
                     and isinstance(self.client, (NativeBackend,
                                                  ShardedBackend))
                     and not kwargs)
@@ -410,17 +423,23 @@ class SMC(Sampler):
         if fused is None:
             fused = eligible
         if fused and not eligible:
-            raise ValueError("fused=True requires: plain SMC, no pool, "
-                             "native/sharded backend, device-traceable "
-                             "model")
-        if not fused:
-            return super().sample(n_samples, thresholds=thresholds,
-                                  quantiles=quantiles, bar=bar, **kwargs)
-        return self._sample_fused(n_samples, thresholds, quantiles, prog)
+            raise ValueError("fused=True requires: no adaptive distance, "
+                             "no pool, native/sharded backend, "
+                             "device-traceable model")
+        return fused, prog
 
-    def _sample_fused(self, n_samples, thresholds, quantiles, prog):
-        self.set_objective(n_samples, thresholds=thresholds,
-                           quantiles=quantiles)
+    def _fused_advance_round(self):
+        """Round transition for the fused driver; returns False when the
+        run is complete (mirrors the unfused ``update`` logic)."""
+        if self.state["round"] < self.objective["round"]:
+            self._populations.append(self._extract_population())
+            self.state["round"] += 1
+            self._init_new_round()
+            return True
+        return False
+
+    def _sample_fused(self, n_samples, objective_kwargs, prog):
+        self.set_objective(n_samples, **objective_kwargs)
         prior_logpdf = self._prior.traceable_logpdf()
         # rounds > 0 need the parameter nodes DECLARED as overrides at
         # compile time -- an undeclared override is silently ignored by the
@@ -456,11 +475,7 @@ class SMC(Sampler):
                 + rej.state["n_batches"]
             if pb:
                 pb.update(rnd + 1, self.objective["round"] + 1)
-            if rnd < self.objective["round"]:
-                self._populations.append(self._extract_population())
-                self.state["round"] += 1
-                self._init_new_round()
-            else:
+            if not self._fused_advance_round():
                 break
         if pb:
             pb.finish()
@@ -613,8 +628,9 @@ class AdaptiveDistanceSMC(SMC):
         super().__init__(model, discrepancy_name, output_names=output_names,
                          **kwargs)
 
+    _fused_capable = False  # per-batch Welford scale updates are host-side
+
     def sample(self, n_samples, rounds, quantile=0.5, bar=True, **kwargs):
-        # adaptive distances need per-batch host updates -> always unfused
         return Sampler.sample(self, n_samples, rounds=rounds,
                               quantile=quantile, bar=bar, **kwargs)
 
@@ -678,10 +694,30 @@ class AdaptiveThresholdSMC(SMC):
             n=100, epsilon=0.001, max_iter=200, abs_tol=0.01, fold=5,
             optimize=False)
 
-    def sample(self, n_samples, max_iter=10, bar=True, **kwargs):
-        # threshold selection needs per-round host density-ratio fits
-        return Sampler.sample(self, n_samples, max_iter=max_iter, bar=bar,
-                              **kwargs)
+    def sample(self, n_samples, max_iter=10, fused=None, bar=True, **kwargs):
+        """Sample with adaptive threshold selection.  Rounds run fused on
+        device by default (eligibility as for :meth:`SMC.sample`); the
+        density-ratio quantile selection happens between rounds on host."""
+        self.bar = bar
+        fused, prog = self._resolve_fused(fused, kwargs)
+        if not fused:
+            return Sampler.sample(self, n_samples, max_iter=max_iter,
+                                  bar=bar, **kwargs)
+        return self._sample_fused(n_samples, dict(max_iter=max_iter), prog)
+
+    def _fused_advance_round(self):
+        """Mirrors the unfused ``update``: fit the density ratio, stop when
+        the next quantile exceeds ``q_threshold`` or rounds run out."""
+        self._new_population = self._extract_population()
+        if self.state["round"] >= self.objective["round"]:
+            return False
+        self._set_adaptive_quantile()
+        if self._quantiles[self.state["round"] + 1] >= self.q_threshold:
+            return False
+        self._populations.append(self._new_population)
+        self.state["round"] += 1
+        self._init_new_round()
+        return True
 
     def set_objective(self, n_samples, max_iter=10):
         rounds = max_iter - 1

@@ -179,3 +179,23 @@ def test_smc_fused_proposals_shrink_n_sim(ma2):
     assert f.n_sim <= 4 * u.n_sim
     np.testing.assert_allclose(f.sample_means_array, u.sample_means_array,
                                atol=0.12)
+
+
+def test_adaptive_threshold_smc_fused(ma2):
+    from elfi_tpu.methods.density_ratio_estimation import \
+        DensityRatioEstimation
+
+    def make():
+        return elfi.AdaptiveThresholdSMC(
+            ma2["d"], batch_size=500, seed=11, initial_quantile=0.3,
+            densratio_estimation=DensityRatioEstimation(n=20, epsilon=0.001,
+                                                        max_iter=200,
+                                                        abs_tol=0.01))
+    f1 = make().sample(100, max_iter=3, bar=False, fused=True)
+    f2 = make().sample(100, max_iter=3, bar=False, fused=True)
+    np.testing.assert_array_equal(f1.samples_array, f2.samples_array)
+    assert 1 <= f1.n_populations <= 3
+
+    u = make().sample(100, max_iter=3, bar=False, fused=False)
+    np.testing.assert_allclose(f1.sample_means_array, u.sample_means_array,
+                               atol=0.3)
