@@ -438,6 +438,8 @@ class BOLFI(BayesianOptimization):
         if algorithm == "nuts":
             chains = mcmc.nuts_chains(n_samples, initials, target,
                                       n_adapt=warmup, seed=self.seed,
+                                      mesh=getattr(self.client, "mesh",
+                                                   None),
                                       **kwargs)
         else:
             sigmas = resolve_sigmas(self.target_model.parameter_names,

@@ -118,6 +118,8 @@ class BOLFIRE(ModelBased):
         if algorithm == "nuts":
             chains = mcmc.nuts_chains(n_samples, initials, target,
                                       n_adapt=warmup, seed=self.seed,
+                                      mesh=getattr(self.client, "mesh",
+                                                   None),
                                       **kwargs)
         else:
             sigmas = resolve_sigmas(self.parameter_names, sigma_proposals,

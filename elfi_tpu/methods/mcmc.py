@@ -261,9 +261,17 @@ def nuts(n_iter, params0, target, grad_target=None, n_adapt=None,
 
 
 def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
-                max_depth=5, seed=0, stepsize=None):
+                max_depth=5, seed=0, stepsize=None, mesh=None):
     """Run several NUTS chains vmapped on device; returns
-    (n_chains, n_iter, d)."""
+    (n_chains, n_iter, d).
+
+    With ``mesh`` given (and ``n_chains`` divisible by the mesh size) the
+    chain axis is sharded across the mesh devices — the reference farms
+    each chain as a separate client task (``bolfi.py:552-561``); here XLA
+    partitions the one vmapped program over ICI.  Deterministic per seed
+    and mesh; across different partitionings results are statistically
+    equivalent, not bitwise (NUTS amplifies compilation-level float
+    differences)."""
     x0s = jnp.atleast_2d(jnp.asarray(x0s, jnp.float32))
     n_chains = x0s.shape[0]
     n_adapt = n_adapt if n_adapt is not None else n_iter // 2
@@ -271,6 +279,12 @@ def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
     runner = jax.vmap(lambda k, x: _nuts_chain(
         k, x, target, int(n_iter), int(n_adapt), float(target_prob),
         int(max_depth), jnp.float32(stepsize or 0.0)))
+    if mesh is not None and n_chains % mesh.devices.size == 0:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        keys = jax.device_put(keys, sh)
+        x0s = jax.device_put(x0s, sh)
     return np.asarray(runner(keys, x0s))
 
 

@@ -61,3 +61,29 @@ def test_gelman_rubin():
     assert mcmc.gelman_rubin_statistic(good) < 1.05
     bad = good + np.arange(4)[:, None] * 3
     assert mcmc.gelman_rubin_statistic(bad) > 1.5
+
+
+def test_nuts_chains_sharded_equals_single():
+    """Sharding the chain axis over the mesh must not change the draws."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from elfi_tpu.methods.mcmc import nuts_chains
+
+    def target(x):
+        return -0.5 * jnp.sum(x * x)
+
+    x0s = np.linspace(-1, 1, 8)[:, None] * np.ones((8, 2))
+    a = nuts_chains(200, x0s, target, seed=3)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("chains",))
+    b = nuts_chains(200, x0s, target, seed=3, mesh=mesh)
+    b2 = nuts_chains(200, x0s, target, seed=3, mesh=mesh)
+    # deterministic per (seed, mesh); across partitionings equivalence is
+    # statistical (NUTS amplifies compilation-level float differences)
+    np.testing.assert_array_equal(b, b2)
+    for chains in (a, b):
+        flat = chains[:, 100:, :].reshape(-1, 2)
+        assert np.all(np.abs(flat.mean(0)) < 0.15)
+        assert np.all(np.abs(flat.std(0) - 1) < 0.2)
