@@ -1,0 +1,34 @@
+"""Execute the documentation examples (reference keeps its tutorials
+runnable via ``tests/functional/test_document_examples.py``)."""
+
+import re
+
+import numpy as np
+
+import elfi_tpu as elfi
+
+
+def _doc_code_blocks(path):
+    text = open(path).read()
+    return re.findall(r"```python\n(.*?)```", text, re.DOTALL)
+
+
+def test_implementing_methods_doc(ma2):
+    blocks = _doc_code_blocks("docs/implementing_methods.md")
+    assert len(blocks) == 2
+    ns = {}
+    exec(blocks[0], ns)  # the class definition
+    method = ns["MinDiscrepancySearch"](ma2["d"], batch_size=1000, seed=0)
+    res = method.infer(n_sim=20_000, bar=False)
+    assert set(res.samples) == {"t1", "t2"}
+    d_best = float(np.ravel(res.outputs["d"])[0])
+    assert 0 <= d_best < res.meta["mean_discrepancy"]
+    # deterministic per seed
+    m2 = ns["MinDiscrepancySearch"](ma2["d"], batch_size=1000, seed=0)
+    res2 = m2.infer(n_sim=20_000, bar=False)
+    np.testing.assert_array_equal(res.samples_array, res2.samples_array)
+
+
+def test_methods_doc_snippets_are_valid_python(ma2):
+    for block in _doc_code_blocks("docs/methods.md"):
+        compile(block, "<docs/methods.md>", "exec")
