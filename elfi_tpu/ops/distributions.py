@@ -99,6 +99,14 @@ class uniform(Distribution):
         inside = (x >= loc) & (x <= loc + scale)
         return jnp.where(inside, 1.0 / scale, 0.0)
 
+    @classmethod
+    def cdf(cls, x, loc=0.0, scale=1.0):
+        return jnp.clip((jnp.asarray(x) - loc) / scale, 0.0, 1.0)
+
+    @classmethod
+    def ppf(cls, q, loc=0.0, scale=1.0):
+        return loc + scale * jnp.asarray(q)
+
 
 class norm(Distribution):
     name = "norm"
@@ -141,6 +149,19 @@ class truncnorm(Distribution):
         la = jnp.log(jsp.ndtr(jnp.asarray(b, jnp.float32)) - jsp.ndtr(jnp.asarray(a, jnp.float32)))
         inside = (z >= a) & (z <= b)
         return jnp.where(inside, lognorm_z - la - jnp.log(jnp.asarray(scale, z.dtype)), -jnp.inf)
+
+    @classmethod
+    def cdf(cls, x, a, b, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x) - loc) / scale
+        fa = jsp.ndtr(jnp.asarray(a, jnp.float32))
+        fb = jsp.ndtr(jnp.asarray(b, jnp.float32))
+        return jnp.clip((jsp.ndtr(z) - fa) / (fb - fa), 0.0, 1.0)
+
+    @classmethod
+    def ppf(cls, q, a, b, loc=0.0, scale=1.0):
+        fa = jsp.ndtr(jnp.asarray(a, jnp.float32))
+        fb = jsp.ndtr(jnp.asarray(b, jnp.float32))
+        return loc + scale * jsp.ndtri(fa + jnp.asarray(q) * (fb - fa))
 
 
 class multivariate_normal(Distribution):
@@ -190,6 +211,16 @@ class lognorm(Distribution):
               - (jnp.log(safe)) ** 2 / (2 * s * s))
         return jnp.where(y > 0, lp, -jnp.inf)
 
+    @classmethod
+    def cdf(cls, x, s, loc=0.0, scale=1.0):
+        y = (jnp.asarray(x) - loc) / scale
+        safe = jnp.where(y > 0, y, 1.0)
+        return jnp.where(y > 0, jsp.ndtr(jnp.log(safe) / s), 0.0)
+
+    @classmethod
+    def ppf(cls, q, s, loc=0.0, scale=1.0):
+        return loc + scale * jnp.exp(s * jsp.ndtri(jnp.asarray(q)))
+
 
 class expon(Distribution):
     name = "expon"
@@ -203,6 +234,15 @@ class expon(Distribution):
     def logpdf(cls, x, loc=0.0, scale=1.0):
         z = (jnp.asarray(x) - loc) / scale
         return jnp.where(z >= 0, -z - jnp.log(jnp.asarray(scale, z.dtype)), -jnp.inf)
+
+    @classmethod
+    def cdf(cls, x, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x) - loc) / scale
+        return jnp.where(z >= 0, -jnp.expm1(-z), 0.0)
+
+    @classmethod
+    def ppf(cls, q, loc=0.0, scale=1.0):
+        return loc - scale * jnp.log1p(-jnp.asarray(q))
 
 
 class gamma(Distribution):
@@ -222,6 +262,11 @@ class gamma(Distribution):
               - jnp.log(jnp.asarray(scale, jnp.float32)))
         return jnp.where(z > 0, lp, -jnp.inf)
 
+    @classmethod
+    def cdf(cls, x, a, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return jnp.where(z > 0, jsp.gammainc(a, jnp.maximum(z, 0.0)), 0.0)
+
 
 class beta(Distribution):
     name = "beta"
@@ -238,6 +283,11 @@ class beta(Distribution):
         lp = ((a - 1) * jnp.log(safe) + (b - 1) * jnp.log1p(-safe)
               - jsp.betaln(a, b) - jnp.log(jnp.asarray(scale, jnp.float32)))
         return jnp.where((z > 0) & (z < 1), lp, -jnp.inf)
+
+    @classmethod
+    def cdf(cls, x, a, b, loc=0.0, scale=1.0):
+        z = jnp.clip((jnp.asarray(x, jnp.float32) - loc) / scale, 0.0, 1.0)
+        return jsp.betainc(a, b, z)
 
 
 class binom(Distribution):

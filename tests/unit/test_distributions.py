@@ -85,3 +85,29 @@ def test_custom_distribution_pdf_from_logpdf():
             return -np.abs(x) * a
 
     assert np.isclose(np.asarray(MyDist.pdf(0.0, 1.0)), 1.0)
+
+
+def test_cdf_ppf_match_scipy():
+    import scipy.stats as ss
+    from elfi_tpu.ops import distributions as d
+
+    x = np.linspace(-3, 8, 23)
+    q = np.linspace(0.01, 0.99, 9)
+    cases = [
+        (d.uniform.cdf(x, 1, 3), ss.uniform.cdf(x, 1, 3)),
+        (d.uniform.ppf(q, 1, 3), ss.uniform.ppf(q, 1, 3)),
+        (d.norm.cdf(x, 1, 2), ss.norm.cdf(x, 1, 2)),
+        (d.norm.ppf(q, 1, 2), ss.norm.ppf(q, 1, 2)),
+        (d.truncnorm.cdf(x, -1, 2, 1, 2), ss.truncnorm.cdf(x, -1, 2, 1, 2)),
+        (d.truncnorm.ppf(q, -1, 2, 1, 2), ss.truncnorm.ppf(q, -1, 2, 1, 2)),
+        (d.lognorm.cdf(x, 0.5, 0, 2), ss.lognorm.cdf(x, 0.5, 0, 2)),
+        (d.lognorm.ppf(q, 0.5, 0, 2), ss.lognorm.ppf(q, 0.5, 0, 2)),
+        (d.expon.cdf(x, 0.5, 2), ss.expon.cdf(x, 0.5, 2)),
+        (d.expon.ppf(q, 0.5, 2), ss.expon.ppf(q, 0.5, 2)),
+        (d.gamma.cdf(x, 2.5, 0, 1.5), ss.gamma.cdf(x, 2.5, 0, 1.5)),
+        (d.beta.cdf(np.linspace(-.2, 1.2, 15), 2, 3),
+         ss.beta.cdf(np.linspace(-.2, 1.2, 15), 2, 3)),
+    ]
+    for got, want in cases:
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-6)
