@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ...ops import special
 from ...ops.distributions import truncnorm
-from .gp import gp_neg_lcb_obj
+from .gp import _predict_noiseless, gp_cross_cov, gp_neg_lcb_obj
 from .utils import CostFunction, minimize, minimize_traced
 
 __all__ = ["AcquisitionBase", "LCBSC", "MaxVar", "RandMaxVar", "ExpIntVar",
@@ -189,80 +189,121 @@ class LCBSC(AcquisitionBase):
         return self._combined_obj, (Xp, mask, L, alpha, params, beta)
 
 
+def _indicator_moments(eps, mean, var, noise):
+    """First two posterior moments of the ABC indicator estimate
+    ``p(theta) = Phi((eps - f) / sqrt(noise))`` when the GP gives
+    ``f ~ N(mean, var)`` (traceable; any broadcastable shapes).
+
+    ``E[p] = Phi(eps; mean, sqrt(noise+var))`` and ``E[p^2]`` is the CDF of
+    a skew normal with shape ``sqrt(noise/(noise+2 var))`` — both via the
+    Owen's-T implementation in :mod:`elfi_tpu.ops.special`, so the whole
+    MaxVar family is differentiable and device-resident.  Replaces the
+    reference's scipy-based host evaluation + hand-derived gradients
+    (``elfi/methods/bo/acquisition.py:392-469``) with autodiff.
+    """
+    width = jnp.sqrt(noise + var)
+    shape = jnp.sqrt(noise) * jax.lax.rsqrt(noise + 2.0 * var)
+    first = special.norm_cdf(eps, loc=mean, scale=width)
+    second = special.skewnorm_cdf(eps, shape, loc=mean, scale=width)
+    return first, second
+
+
 class MaxVar(AcquisitionBase):
     r"""Maximise the variance of the unnormalised approximate posterior
-    (Jarvenpaa et al. 2019; reference ``acquisition.py:304-469``)."""
+    (Jarvenpaa et al. 2019; reference ``acquisition.py:304-469``).
+
+    The whole rule is a single traceable objective: the acquisition
+    optimizer runs all restarts as one jitted device program
+    (``minimize_traced``) on the log of ``prior(theta)^2 Var[p(theta)]``,
+    and ``evaluate_gradient`` is ``jax.grad`` of ``evaluate`` — there is no
+    hand-derived gradient to maintain."""
 
     def __init__(self, model, prior, quantile_eps=.01, **opts):
         super().__init__(model, prior=prior, **opts)
         self.name = "max_var"
         self.quantile_eps = quantile_eps
         self.eps = .1
+        self._fns = None
+
+    def _build_fns(self):
+        """Traceable objective family, built once per instance.  Per-call
+        data (GP factorisation, eps) flows through positional args so GP
+        refits reuse the compiled programs."""
+        if self._fns is not None:
+            return self._fns
+        prior_logpdf = self.prior.traceable_logpdf()
+
+        def log_value(theta, Xp, mask, L, alpha, params, eps):
+            mean, var = _predict_noiseless(theta[None], Xp, mask, L, alpha,
+                                           params)
+            first, second = _indicator_moments(eps, mean[0], var[0],
+                                               params["noise"])
+            var_p = jnp.maximum(second - first ** 2, 1e-32)
+            return 2.0 * prior_logpdf(theta[None])[0] + jnp.log(var_p)
+
+        def neg_log_value(theta, *args):
+            return -log_value(theta, *args)
+
+        def value_one(theta, *args):
+            return jnp.exp(log_value(theta, *args))
+
+        in_axes = (0,) + (None,) * 6
+        self._fns = dict(
+            neg_log=neg_log_value,
+            log_value=jax.jit(jax.vmap(log_value, in_axes=in_axes)),
+            value=jax.jit(jax.vmap(value_one, in_axes=in_axes)),
+            grad=jax.jit(jax.vmap(jax.grad(value_one), in_axes=in_axes)),
+        )
+        return self._fns
+
+    def _gp_args(self):
+        if self.model._factor is None:
+            raise ValueError("GP has no evidence yet")
+        Xp, mask, L, alpha, params = self.model._factor
+        return (Xp, mask, L, alpha, params, jnp.float32(self.eps))
+
+    def _update_eps(self):
+        # gp.Y is host-resident; quantile of the evidence targets
+        self.eps = float(np.percentile(np.asarray(self.model.Y),
+                                       self.quantile_eps * 100))
+
+    def _traced(self, t):
+        return self._build_fns()["neg_log"], self._gp_args()
 
     def acquire(self, n, t=None):
-        self.eps = np.percentile(np.asarray(self.model.Y),
-                                 self.quantile_eps * 100)
-
-        def _neg(theta):
-            return -self.evaluate(theta)
-
-        def _neg_grad(theta):
-            return -self.evaluate_gradient(theta)
-
-        theta_max, _ = minimize(_neg, self.model.bounds, grad=_neg_grad,
-                                prior=self.prior, n_start_points=self.n_inits,
-                                maxiter=self.max_opt_iters,
-                                random_state=self.random_state)
-        return np.tile(theta_max, (n, 1))
+        self._update_eps()
+        if self.constraints is None:
+            obj, args = self._traced(t)
+            self._acq_count += 1
+            key = jax.random.fold_in(jax.random.key(self.seed),
+                                     self._acq_count)
+            xhat, _ = minimize_traced(obj, self.model.bounds, args=args,
+                                      n_starts=self.n_inits,
+                                      steps=min(self.max_opt_iters, 200),
+                                      key=key)
+        else:
+            # constrained host path; note the sign: this rule MAXIMISES
+            xhat, _ = minimize(lambda x: -self.evaluate(x, t),
+                               self.model.bounds, method="SLSQP",
+                               constraints=self.constraints,
+                               grad=lambda x: -self.evaluate_gradient(x, t),
+                               prior=self.prior,
+                               n_start_points=self.n_inits,
+                               maxiter=self.max_opt_iters,
+                               random_state=self.random_state)
+        return self._add_noise(np.tile(np.asarray(xhat), (n, 1)))
 
     def evaluate(self, theta_new, t=None):
-        """Var(prior^2 * p_a) via the skew-normal CDF identity (reference
-        ``acquisition.py:392-421``)."""
-        theta_new = np.atleast_2d(theta_new)
-        mean, var = self.model.predict(theta_new, noiseless=True)
-        sigma2_n = self.model.noise
-        a = np.sqrt(sigma2_n) / np.sqrt(sigma2_n + 2. * var)
-        scale = np.sqrt(sigma2_n + var)
-        phi_skew = np.asarray(special.skewnorm_cdf(self.eps, a, loc=mean,
-                                                   scale=scale))
-        phi_norm = np.asarray(special.norm_cdf(self.eps, loc=mean,
-                                               scale=scale))
-        var_p_a = phi_skew - phi_norm ** 2
-        val_prior = np.asarray(self.prior.pdf(theta_new)).reshape(-1, 1)
-        return val_prior ** 2 * var_p_a
+        """``prior^2 Var[p]`` at each row of theta_new, (n, 1)."""
+        theta = jnp.atleast_2d(jnp.asarray(theta_new, jnp.float32))
+        vals = self._build_fns()["value"](theta, *self._gp_args())
+        return np.asarray(vals)[:, None]
 
     def evaluate_gradient(self, theta_new, t=None):
-        """Hand-derived gradient (reference ``acquisition.py:423-469``)."""
-        theta_new = np.atleast_2d(theta_new)
-        mean, var = self.model.predict(theta_new, noiseless=True)
-        grad_mean, grad_var = self.model.predictive_gradients(theta_new)
-        sigma2_n = self.model.noise
-        scale = np.sqrt(sigma2_n + var)
-        phi = lambda z: np.asarray(special.norm_cdf(z))  # noqa: E731
-
-        a = (self.eps - mean) / scale
-        b = np.sqrt(sigma2_n) / np.sqrt(sigma2_n + 2 * var)
-        grad_a = (-1. / scale) * grad_mean - \
-            ((self.eps - mean) / (2. * (sigma2_n + var) ** 1.5)) * grad_var
-        grad_b = (-np.sqrt(sigma2_n) / (sigma2_n + 2 * var) ** 1.5) * grad_var
-
-        _phi_a = phi(a)
-        int_1 = _phi_a - _phi_a ** 2
-        int_2 = np.asarray(special.norm_cdf(self.eps, loc=mean, scale=scale)) \
-            - np.asarray(special.skewnorm_cdf(self.eps, b, loc=mean,
-                                              scale=scale))
-        grad_int_1 = (1. - 2 * _phi_a) * \
-            (np.exp(-.5 * a ** 2) / np.sqrt(2. * np.pi)) * grad_a
-        grad_int_2 = (1. / np.pi) * \
-            ((np.exp(-.5 * (a ** 2) * (1. + b ** 2)) / (1. + b ** 2)) * grad_b
-             + (np.sqrt(np.pi / 2.) * np.exp(-.5 * a ** 2)
-                * (1. - 2. * phi(a * b)) * grad_a))
-
-        term_prior = np.asarray(self.prior.pdf(theta_new)).reshape(-1, 1)
-        grad_prior_log = np.asarray(self.prior.gradient_logpdf(theta_new))
-        term_grad_prior = term_prior * grad_prior_log
-        return 2. * term_prior * (int_1 - int_2) * term_grad_prior + \
-            term_prior ** 2 * (grad_int_1 - grad_int_2)
+        """Autodiff gradient of :meth:`evaluate`, (n, d)."""
+        theta = jnp.atleast_2d(jnp.asarray(theta_new, jnp.float32))
+        grads = self._build_fns()["grad"](theta, *self._gp_args())
+        return np.asarray(jnp.where(jnp.isfinite(grads), grads, 0.0))
 
 
 class RandMaxVar(MaxVar):
@@ -283,23 +324,11 @@ class RandMaxVar(MaxVar):
 
     def _traceable_logpdf(self):
         """Traceable log of the MaxVar density for device NUTS."""
-        pred = self.model.device_predict(noiseless=True)
-        sigma2_n = jnp.float32(self.model.noise)
-        eps = jnp.float32(self.eps)
-        prior_logpdf = self.prior.traceable_logpdf() \
-            if hasattr(self.prior, "traceable_logpdf") else None
+        fns = self._build_fns()
+        args = self._gp_args()
 
         def logpdf(theta):
-            mean, var = pred(theta[None])
-            mean, var = mean[0], var[0]
-            a = jnp.sqrt(sigma2_n) / jnp.sqrt(sigma2_n + 2. * var)
-            scale = jnp.sqrt(sigma2_n + var)
-            phi_skew = special.skewnorm_cdf(eps, a, loc=mean, scale=scale)
-            phi_norm = special.norm_cdf(eps, loc=mean, scale=scale)
-            var_p_a = jnp.maximum(phi_skew - phi_norm ** 2, 1e-30)
-            lp = prior_logpdf(theta[None])[0] if prior_logpdf is not None \
-                else 0.0
-            return 2.0 * lp + jnp.log(var_p_a)
+            return -fns["neg_log"](theta, *args)
 
         return logpdf
 
@@ -309,46 +338,72 @@ class RandMaxVar(MaxVar):
             raise ValueError("The number of acquisitions has to be lower "
                              "than the number of the samples")
         gp = self.model
-        self.eps = np.percentile(np.asarray(gp.Y), self.quantile_eps * 100)
+        self._update_eps()
         logpdf = self._traceable_logpdf()
 
-        def host_logpdf(theta):
-            return float(np.asarray(logpdf(jnp.asarray(theta, jnp.float32))))
+        # draw ALL candidate initial points up front and score them in ONE
+        # vectorised device call (the reference probes them one by one,
+        # elfi/methods/bo/acquisition.py:551-575 — a host<->device round
+        # trip per probe on this tunnel-attached TPU)
+        n_try = self._limit_faulty_init
+        if self._init_from_prior:
+            inits = np.atleast_2d(np.asarray(
+                self.prior.rvs(size=n_try, seed=self.seed)))
+            for j, b in enumerate(gp.bounds):
+                inits[:, j] = np.clip(inits[:, j], *b)
+        else:
+            bounds = np.asarray(gp.bounds)
+            inits = self.random_state.uniform(
+                bounds[:, 0], bounds[:, 1], size=(n_try, len(bounds)))
+        logps = np.asarray(self._build_fns()["log_value"](
+            jnp.asarray(inits, jnp.float32), *self._gp_args()))
+        finite = np.isfinite(logps)
+        if not finite.any():
+            raise RuntimeError("Unable to find a suitable initial point")
+        theta_init = inits[int(np.argmax(finite))]
 
-        for i in range(self._limit_faulty_init + 1):
-            if i == self._limit_faulty_init:
-                raise RuntimeError("Unable to find a suitable initial point")
-            if self._init_from_prior:
-                theta_init = np.asarray(self.prior.rvs(
-                    size=1, seed=self.seed + i)).ravel()
-                theta_init = np.array([np.clip(theta_init[j], *b)
-                                       for j, b in enumerate(gp.bounds)])
-            else:
-                theta_init = np.array([self.random_state.uniform(*b)
-                                       for b in gp.bounds])
-            if not np.isfinite(host_logpdf(theta_init)):
-                continue
-            if self.name_sampler == "metropolis":
-                from ..utils import resolve_sigmas
-                sigmas = resolve_sigmas(self.model.parameter_names,
-                                        self._sigma_proposals,
-                                        self.model.bounds)
-                samples = mcmc.metropolis(self._n_samples, theta_init,
-                                          logpdf, sigmas, seed=self.seed)
-            elif self.name_sampler == "nuts":
-                samples = mcmc.nuts(self._n_samples, theta_init, logpdf,
-                                    seed=self.seed)
-            else:
-                raise ValueError("Incompatible sampler")
-            if n > 1:
-                samples = samples[self._warmup:]
-                return self.random_state.permutation(samples)[:n]
-            return samples[-1:]
+        if self.name_sampler == "metropolis":
+            from ..utils import resolve_sigmas
+            sigmas = resolve_sigmas(self.model.parameter_names,
+                                    self._sigma_proposals,
+                                    self.model.bounds)
+            samples = mcmc.metropolis(self._n_samples, theta_init,
+                                      logpdf, sigmas, seed=self.seed)
+        elif self.name_sampler == "nuts":
+            samples = mcmc.nuts(self._n_samples, theta_init, logpdf,
+                                seed=self.seed)
+        else:
+            raise ValueError("Incompatible sampler")
+        if n > 1:
+            samples = samples[self._warmup:]
+            return self.random_state.permutation(samples)[:n]
+        return samples[-1:]
+
+
+@jax.jit
+def _lookahead_state(Xp, mask, L, alpha, params, eps, points):
+    """Per-round precompute for ExpIntVar, one device dispatch: posterior
+    moments at the integration nodes, the whitened training/integration
+    cross term ``L^-1 k(X, P)`` that turns each candidate's lookahead
+    covariance into a single triangular solve, and the current indicator
+    mean Phi at every node."""
+    mean_p, var_p = _predict_noiseless(points, Xp, mask, L, alpha, params)
+    kxp = gp_cross_cov(Xp, points, params) * mask[:, None]
+    whitened = jax.scipy.linalg.solve_triangular(L, kxp, lower=True)
+    phi_p, _ = _indicator_moments(eps, mean_p, var_p, params["noise"])
+    return mean_p, var_p, whitened, phi_p
 
 
 class ExpIntVar(MaxVar):
     r"""Expected Integrated Variance acquisition (Jarvenpaa et al. 2019;
-    reference ``acquisition.py:629-821``)."""
+    reference ``acquisition.py:629-821``).
+
+    TPU-native formulation: per BO round one jitted precompute produces the
+    integration-node state (:func:`_lookahead_state`); the expected-loss
+    objective is then traceable — each evaluation is one triangular solve
+    against the cached whitened cross term — so the acquisition optimizer
+    runs all restarts as a single device program instead of the reference's
+    host Cholesky per optimizer step."""
 
     def __init__(self, model, prior, quantile_eps=.01, integration="grid",
                  d_grid=.2, n_samples_imp=100, iter_imp=2, sampler="nuts",
@@ -358,6 +413,11 @@ class ExpIntVar(MaxVar):
         self._integration = integration
         self._n_samples_imp = n_samples_imp
         self._iter_imp = iter_imp
+        self._points = None          # integration nodes (host)
+        self._weights = None         # omega_i * prior_i^2 (device)
+        self._state = None           # (points_dev, mean_p, var_p, whitened, phi_p)
+        self._loss_fns = None
+        self._prior_logpdf_jit = None
         if integration == "importance":
             self.density_is = RandMaxVar(model=model, prior=prior,
                                          n_inits=self.n_inits,
@@ -367,73 +427,95 @@ class ExpIntVar(MaxVar):
                                          n_samples=n_samples,
                                          sigma_proposals=sigma_proposals)
         elif integration == "grid":
-            grid_param = [slice(b[0], b[1], d_grid)
-                          for b in self.model.bounds]
-            self.points_int = np.mgrid[grid_param].reshape(
-                len(self.model.bounds), -1).T
+            axes = [np.arange(lo, hi, d_grid) for lo, hi in self.model.bounds]
+            mesh = np.meshgrid(*axes, indexing="ij")
+            self._points = np.stack([m.ravel() for m in mesh], axis=1)
         else:
             raise ValueError("Unknown integration method")
 
-    def acquire(self, n, t):
+    def _build_loss(self):
+        if self._loss_fns is not None:
+            return self._loss_fns
+        prior_logpdf = self.prior.traceable_logpdf()
+
+        def loss_one(theta, Xp, mask, L, alpha, params, eps,
+                     points, mean_p, var_p, whitened, phi_p, weights):
+            # lookahead variance reduction at every integration node from
+            # one observation at theta
+            kxt = gp_cross_cov(theta[None], Xp, params)[0] * mask
+            v = jax.scipy.linalg.solve_triangular(L, kxt, lower=True)
+            var_new = jnp.maximum(
+                params["sigma2"] + params["bias"] - v @ v, 1e-10)
+            cov = gp_cross_cov(theta[None], points, params)[0] - whitened.T @ v
+            shrink = cov ** 2 / (params["noise"] + var_new)
+            total = params["noise"] + var_p
+            shape = jnp.sqrt(jnp.maximum(total - shrink, 0.0)
+                             / (total + shrink))
+            phi_look = special.skewnorm_cdf(eps, shape, loc=mean_p,
+                                            scale=jnp.sqrt(total))
+            # E[Var after] integrated: sum_i omega_i prior_i^2 (Phi - Phi_look)
+            loss = jnp.sum(weights * (phi_p - phi_look))
+            lp = prior_logpdf(theta[None])[0]
+            return jnp.where(jnp.isfinite(lp), loss,
+                             jnp.finfo(jnp.float32).max)
+
+        self._loss_fns = dict(
+            scalar=loss_one,
+            batch=jax.jit(jax.vmap(loss_one, in_axes=(0,) + (None,) * 12)),
+        )
+        return self._loss_fns
+
+    def _refresh_state(self, t):
         gp = self.model
-        self.sigma2_n = gp.noise
-        self.eps = np.percentile(np.asarray(gp.Y), self.quantile_eps * 100)
-        if self._integration == "importance" and t % self._iter_imp == 0:
-            self.points_int = self.density_is.acquire(self._n_samples_imp)
+        self._update_eps()
+        refresh_points = self._integration == "importance" and (
+            self._points is None or t is None or t % self._iter_imp == 0)
+        if refresh_points:
+            self._points = np.asarray(
+                self.density_is.acquire(self._n_samples_imp))
+        points = jnp.asarray(self._points, jnp.float32)
+        args = self._gp_args()
+        state = _lookahead_state(*args, points)
+        if refresh_points or self._weights is None:
+            if self._prior_logpdf_jit is None:
+                self._prior_logpdf_jit = jax.jit(
+                    self.prior.traceable_logpdf())
+            prior2 = jnp.exp(2.0 * self._prior_logpdf_jit(points))
+            if self._integration == "importance":
+                # self-normalised importance weights from the MaxVar density
+                dens = self._build_fns()["value"](points, *args)
+                omega = 1.0 / jnp.maximum(dens, 1e-32)
+                omega = omega / jnp.sum(omega)
+            else:
+                omega = 1.0 / points.shape[0]
+            self._weights = omega * prior2
+        self._state = (points,) + tuple(state)
 
-        self.mean_int, self.var_int = gp.predict(self.points_int,
-                                                 noiseless=True)
-        self.priors_int = (np.asarray(self.prior.pdf(self.points_int))
-                           ** 2)[np.newaxis, :]
-        if self._integration == "importance" and t % self._iter_imp == 0:
-            omegas_unnorm = (1 / MaxVar.evaluate(self, self.points_int)).T
-            self.omegas_int = omegas_unnorm / \
-                np.sum(omegas_unnorm, axis=1)[:, np.newaxis]
-        elif self._integration == "grid":
-            self.omegas_int = np.full(len(self.points_int),
-                                      1 / len(self.points_int))
-
-        # factorised training kernel for the lookahead covariance
-        self.thetas_old = np.asarray(gp.X)
-        p = gp.params
-        self._kern = lambda A, B: (
-            p["sigma2"] * np.exp(-0.5 * _sq_dists(A, B) / p["ell"] ** 2)
-            + p["bias"])
-        self.K = self._kern(self.thetas_old, self.thetas_old) + \
-            self.sigma2_n * np.identity(len(self.thetas_old))
-        self.k_int_old = self._kern(self.points_int, self.thetas_old).T
-        self.phi_int = np.asarray(special.norm_cdf(
-            self.eps, loc=self.mean_int.T,
-            scale=np.sqrt(self.sigma2_n + self.var_int.T)))
-
-        theta_min, _ = minimize(self.evaluate, gp.bounds, grad=None,
-                                prior=self.prior,
-                                n_start_points=self.n_inits,
-                                maxiter=self.max_opt_iters,
-                                random_state=self.random_state)
-        return np.tile(theta_min, (n, 1))
+    def acquire(self, n, t=None):
+        self._refresh_state(t)
+        loss = self._build_loss()["scalar"]
+        self._acq_count += 1
+        key = jax.random.fold_in(jax.random.key(self.seed), self._acq_count)
+        theta_min, _ = minimize_traced(
+            loss, self.model.bounds,
+            args=self._gp_args() + self._state + (self._weights,),
+            n_starts=self.n_inits, steps=min(self.max_opt_iters, 200),
+            key=key)
+        return self._add_noise(np.tile(np.asarray(theta_min), (n, 1)))
 
     def evaluate(self, theta_new, t=None):
-        """Expected loss term dependent on theta_new (reference
-        ``acquisition.py:748-805``)."""
-        import scipy.linalg as sl
-        gp = self.model
-        theta_new = np.atleast_2d(theta_new)
-        _, var_new = gp.predict(theta_new, noiseless=True)
-        k_old_new = self._kern(self.thetas_old, theta_new)
-        k_int_new = self._kern(self.points_int, theta_new).T
-        term_chol = sl.cho_solve(sl.cho_factor(self.K), k_old_new)
-        cov_int = k_int_new - np.dot(self.k_int_old.T, term_chol).T
-        delta_var_int = cov_int ** 2 / (self.sigma2_n + var_new)
-        a = np.sqrt((self.sigma2_n + self.var_int.T - delta_var_int)
-                    / (self.sigma2_n + self.var_int.T + delta_var_int))
-        phi_skew_imp = np.asarray(special.skewnorm_cdf(
-            self.eps, a, loc=self.mean_int.T,
-            scale=np.sqrt(self.sigma2_n + self.var_int.T)))
-        w = (self.phi_int - phi_skew_imp) / 2
-        loss = 2 * np.sum(self.omegas_int * self.priors_int * w, axis=1)
-        return np.where(np.asarray(self.prior.pdf(theta_new)).ravel() == 0,
-                        np.finfo(float).max, loss)
+        """Expected integrated loss at each row of theta_new, (n,)."""
+        if self._state is None:
+            self._refresh_state(t)
+        theta = jnp.atleast_2d(jnp.asarray(theta_new, jnp.float32))
+        vals = self._build_loss()["batch"](
+            theta, *(self._gp_args() + self._state + (self._weights,)))
+        return np.asarray(vals)
+
+    def evaluate_gradient(self, theta_new, t=None):
+        raise NotImplementedError(
+            "ExpIntVar acquisition runs fully traced; use jax.grad of the "
+            "traceable loss")
 
 
 class UniformAcquisition(AcquisitionBase):
@@ -443,10 +525,3 @@ class UniformAcquisition(AcquisitionBase):
         bounds = np.stack(self.model.bounds)
         return self.random_state.uniform(bounds[:, 0], bounds[:, 1],
                                          size=(n, self.model.input_dim))
-
-
-def _sq_dists(A, B):
-    A = np.atleast_2d(A)
-    B = np.atleast_2d(B)
-    return (np.sum(A ** 2, 1)[:, None] + np.sum(B ** 2, 1)[None, :]
-            - 2 * A @ B.T)

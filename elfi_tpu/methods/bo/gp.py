@@ -86,13 +86,18 @@ def _neg_log_posterior(log_params, X, y, mask, prior_shapes):
 _neg_log_posterior_grad = jax.jit(jax.value_and_grad(_neg_log_posterior))
 
 
+def gp_cross_cov(A, B, params):
+    """Traceable RBF+bias cross-covariance matrix k(A, B), (n, m)."""
+    r2 = (jnp.sum(A ** 2, 1)[:, None] + jnp.sum(B ** 2, 1)[None, :]
+          - 2.0 * A @ B.T)
+    return (params["sigma2"] * jnp.exp(-0.5 * r2 / (params["ell"] ** 2))
+            + params["bias"])
+
+
 @jax.jit
 def _predict(x, X, mask, L, alpha, params):
-    sigma2, ell, bias, noise = (params["sigma2"], params["ell"],
-                                params["bias"], params["noise"])
-    r2 = (jnp.sum(x ** 2, 1)[:, None] + jnp.sum(X ** 2, 1)[None, :]
-          - 2.0 * x @ X.T)
-    kx = (sigma2 * jnp.exp(-0.5 * r2 / (ell * ell)) + bias) * mask[None, :]
+    sigma2, bias, noise = params["sigma2"], params["bias"], params["noise"]
+    kx = gp_cross_cov(x, X, params) * mask[None, :]
     mu = kx @ alpha
     v = jax.scipy.linalg.solve_triangular(L, kx.T, lower=True)
     var = sigma2 + bias - jnp.sum(v * v, axis=0) + noise

@@ -335,46 +335,93 @@ def metropolis_chains(n_samples, x0s, target, sigma_proposals, warmup=0,
 
 
 # ---------------------------------------------------------------------------
-# diagnostics (numpy; reference ``mcmc.py:13-111``)
+# Chain diagnostics — split-chain ESS with Geyer initial-monotone-sequence
+# truncation and split-R̂, following the Vehtari/Gelman/Simpson/Carpenter/
+# Bürkner (2021) formulation, implemented in JAX and vectorised over a
+# trailing parameter axis so diagnostics of vmapped device chains need no
+# host loop.  The reference computes an unsplit per-lag variogram in a host
+# while-loop instead (``elfi/methods/mcmc.py:13-111``).
 # ---------------------------------------------------------------------------
 
+def _split_halves(chains):
+    """(m, n) chains -> (2m, n//2): first and last halves stacked (the
+    middle draw is dropped when n is odd).  Splitting makes within-chain
+    drift show up as between-chain variance in both diagnostics."""
+    chains = np.atleast_2d(np.asarray(chains, np.float64))
+    half = chains.shape[1] // 2
+    return np.concatenate([chains[:, :half], chains[:, -half:]], axis=0)
+
+
+@jax.jit
+def _tau_and_rhat(split):
+    """Integrated autocorrelation time τ and split-R̂ from (m, n) split
+    chains of one scalar quantity.  Returns (τ, R̂)."""
+    m, n = split.shape
+    # circular-embedding FFT autocovariance, biased (1/n) normalisation
+    centered = split - split.mean(axis=1, keepdims=True)
+    spectrum = jnp.fft.rfft(centered, 2 * n, axis=1)
+    acov = jnp.fft.irfft(jnp.abs(spectrum) ** 2, 2 * n, axis=1)[:, :n] / n
+    within = jnp.mean(acov[:, 0]) * n / (n - 1.0)
+    between = jnp.var(split.mean(axis=1), ddof=1)  # = B/n
+    total = within * (n - 1.0) / n + between       # marginal variance var⁺
+    rhat = jnp.sqrt(total / within)
+    # combined autocorrelation at each lag, all chains pooled
+    rho = 1.0 - (within - jnp.mean(acov, axis=0)) / total
+    # Geyer 1992: Γ_k = ρ_{2k} + ρ_{2k+1} is positive and non-increasing
+    # for a reversible chain; truncate at the first non-positive pair and
+    # clamp to the running minimum, entirely with masked vector ops
+    pairs = rho[0:n - n % 2:2] + rho[1::2]
+    alive = jnp.cumprod(pairs > 0.0).astype(bool)
+    capped = jax.lax.associative_scan(jnp.minimum, pairs)
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(alive, jnp.maximum(capped, 0.0),
+                                         0.0))
+    # (near-)constant chains: the variance is pure float rounding (XLA's
+    # reduction order makes "exactly zero" unattainable under jit), and τ/R̂
+    # are meaningless — define τ=1, R̂=1.  Also fall back to τ=1 when no
+    # Geyer pair survives (ρ₁ ≈ -1 is only reachable degenerately).
+    degenerate = total <= 1e-10 * (jnp.mean(split ** 2) + 1e-30)
+    tau = jnp.where(degenerate | ~jnp.isfinite(tau) | (tau <= 0.0), 1.0, tau)
+    rhat = jnp.where(degenerate | ~jnp.isfinite(rhat), 1.0, rhat)
+    return tau, rhat
+
+
+_tau_and_rhat_vec = jax.jit(jax.vmap(_tau_and_rhat, in_axes=2))
+
+
 def eff_sample_size(chains):
-    """Multi-chain ESS via FFT autocovariance + variogram."""
-    chains = np.atleast_2d(chains)
-    n_chains, n_samples = chains.shape
-    means = np.mean(chains, axis=1)
-    variances = np.var(chains, ddof=1, axis=1)
-    var_between = 0 if n_chains == 1 else n_samples * np.var(means, ddof=1)
-    var_within = np.mean(variances)
-    var_pooled = ((n_samples - 1.) * var_within + var_between) / n_samples
-    if var_pooled == 0:  # constant chain
-        return float(n_chains * n_samples)
-    n_padded = int(2 ** np.ceil(1 + np.log2(n_samples)))
-    freqs = np.fft.rfft(chains - means[:, None], n_padded)
-    autocov = np.fft.irfft(np.abs(freqs) ** 2)[:, :n_samples].real
-    autocov = autocov / np.arange(n_samples, 0, -1)
-    estimator_sum = 0.
-    lag = 1
-    while lag < n_samples:
-        temp = 1. - (var_within - np.mean(autocov[:, lag])) / var_pooled
-        if temp >= 0:
-            estimator_sum += temp
-            lag += 1
-        else:
-            break
-    return n_chains * n_samples / (1. + 2. * estimator_sum)
+    """Effective sample size of MCMC draws.
+
+    ``chains`` is (n_samples,), (n_chains, n_samples), or
+    (n_chains, n_samples, n_params) — the latter returns one ESS per
+    parameter as an array, computed in a single vectorised device call.
+    Capability parity with the reference's scalar ESS
+    (``elfi/methods/mcmc.py:13-63``) but a split-chain Geyer estimator.
+    """
+    arr = np.asarray(chains, np.float64)
+    if arr.ndim == 3:
+        taus, _ = _tau_and_rhat_vec(jnp.concatenate(
+            [arr[:, :arr.shape[1] // 2], arr[:, -(arr.shape[1] // 2):]],
+            axis=0))
+        taus = np.asarray(taus)
+        size = arr.shape[0] * arr.shape[1]
+        return np.minimum(size / np.maximum(taus, 1e-12),
+                          size * np.log10(max(size, 10.0)))
+    split = _split_halves(arr)
+    tau, _ = _tau_and_rhat(split)
+    size = split.shape[0] * split.shape[1]
+    return float(min(size / max(float(tau), 1e-12),
+                     size * np.log10(max(size, 10.0))))
 
 
 def gelman_rubin_statistic(chains):
-    """Split-chain potential scale reduction factor R-hat."""
-    chains = np.atleast_2d(chains)
-    n_chains, n_samples = chains.shape
-    n_chains *= 2
-    n_samples //= 2
-    chains = chains[:, :2 * n_samples].reshape((n_chains, n_samples))
-    means = np.mean(chains, axis=1)
-    variances = np.var(chains, ddof=1, axis=1)
-    var_between = n_samples * np.var(means, ddof=1)
-    var_within = np.mean(variances)
-    var_pooled = ((n_samples - 1.) * var_within + var_between) / n_samples
-    return np.sqrt(var_pooled / var_within)
+    """Split-chain potential-scale-reduction factor R̂ (same split-halves
+    convention as :func:`eff_sample_size`; reference
+    ``elfi/methods/mcmc.py:66-111``)."""
+    arr = np.asarray(chains, np.float64)
+    if arr.ndim == 3:
+        _, rhats = _tau_and_rhat_vec(jnp.concatenate(
+            [arr[:, :arr.shape[1] // 2], arr[:, -(arr.shape[1] // 2):]],
+            axis=0))
+        return np.asarray(rhats)
+    _, rhat = _tau_and_rhat(_split_halves(arr))
+    return float(rhat)

@@ -88,6 +88,50 @@ def test_randmaxvar(fitted_bolfi):
     assert pts.shape == (1, 2)
 
 
+def test_acquisitions_device_only(fitted_bolfi, monkeypatch):
+    """Every acquisition rule optimizes through ONE traced device program:
+    no host-side GP predict round trips (each costs ~30 ms on the
+    tunnel-attached TPU; the reference pays one per optimizer step)."""
+    from elfi_tpu.methods.bo.acquisition import ExpIntVar
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+
+    def boom(*a, **k):
+        raise AssertionError("host GP predict called during acquisition")
+
+    monkeypatch.setattr(gp, "predict", boom)
+    monkeypatch.setattr(gp, "predictive_gradients", boom)
+    for acq in (LCBSC(gp, prior=prior, seed=0),
+                MaxVar(gp, prior=prior, seed=0),
+                RandMaxVar(gp, prior=prior, n_samples=20, seed=0),
+                ExpIntVar(gp, prior=prior, seed=0)):
+        pts = acq.acquire(1, t=2)
+        assert pts.shape == (1, 2)
+        for i, b in enumerate(gp.bounds):
+            assert np.all(pts[:, i] >= b[0]) and np.all(pts[:, i] <= b[1])
+
+
+def test_maxvar_gradient_matches_numeric(fitted_bolfi):
+    """Autodiff acquisition gradient vs central differences."""
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+    acq = MaxVar(gp, prior=prior, seed=0)
+    acq._update_eps()
+    thetas = np.array([[0.4, 0.1], [-0.5, 0.3], [1.2, -0.6]])
+    grads = acq.evaluate_gradient(thetas)
+    eps = 1e-3
+    for j in range(2):
+        shift = np.zeros(2)
+        shift[j] = eps
+        num = (acq.evaluate(thetas + shift) - acq.evaluate(thetas - shift)) \
+            / (2 * eps)
+        scale = np.maximum(np.abs(num.ravel()), 1e-7)
+        np.testing.assert_allclose(grads[:, j] / scale,
+                                   num.ravel() / scale, atol=0.05)
+
+
 def test_bayesian_optimization_result(ma2_log):
     bo = elfi.BayesianOptimization(ma2_log["log_d"], batch_size=1,
                                    initial_evidence=16,
