@@ -417,12 +417,13 @@ class Distance(Discrepancy):
     (reference ``elfi_model.py:974-1045``; metrics from
     ``elfi_tpu.ops.distances``)."""
 
-    def __init__(self, metric, *summaries, p=None, w=None, **kwargs):
+    def __init__(self, metric, *summaries, p=None, w=None, V=None, VI=None,
+                 **kwargs):
         from ..ops.distances import distance_op
         if not summaries:
             raise ValueError("Distance requires at least one summary parent")
-        fn = distance_op(metric, p=p, w=w) if isinstance(metric, str) else \
-            _callable_distance(metric)
+        fn = distance_op(metric, p=p, w=w, V=V, VI=VI) \
+            if isinstance(metric, str) else _callable_distance(metric)
         super().__init__(fn, *summaries, **kwargs)
         self.model.dag.update_state(self.name, metric=metric)
 
