@@ -239,12 +239,17 @@ class CompiledProgram:
 
     # -- entry point -----------------------------------------------------------
     def run(self, master_key, batch_index, overrides=None, batch_size=1):
-        overrides = {k: jnp.asarray(v) for k, v in (overrides or {}).items()
-                     if k in self.override_names} if not self.host else \
-            dict(overrides or {})
+        overrides = dict(overrides or {})
+        unknown = set(overrides) - set(self.override_names)
+        if unknown:
+            raise ValueError(
+                f"Overrides {sorted(unknown)} were not declared at compile "
+                f"time (declared: {sorted(self.override_names)}); compile "
+                "with override_names including them")
         if self.host:
             return self.run_host(master_key, batch_index, overrides,
                                  batch_size)
+        overrides = {k: jnp.asarray(v) for k, v in overrides.items()}
         return self.jitted(batch_size)(
             master_key, jnp.asarray(batch_index, jnp.uint32), overrides)
 

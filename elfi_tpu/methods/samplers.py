@@ -16,6 +16,7 @@ TPU-native design points vs the reference:
 
 from __future__ import annotations
 
+import logging
 from math import ceil
 
 import numpy as np
@@ -35,6 +36,8 @@ from .utils import (GMDistribution, arr2d_to_batch, weighted_sample_quantile,
                     weighted_var)
 
 __all__ = ["Rejection", "SMC", "AdaptiveDistanceSMC", "AdaptiveThresholdSMC"]
+
+logger = logging.getLogger(__name__)
 
 _FUSED_CHUNK = 64  # scan length per fused dispatch (compile-time constant)
 
@@ -331,6 +334,12 @@ class Rejection(Sampler):
                     pb.update(min(accepted, n), n)
                 length = _FUSED_CHUNK
             self.state["n_accepted"] = accepted
+            if accepted < n:
+                logger.warning(
+                    "Threshold %s unattainable within %d batches: only %d of "
+                    "%d requested samples were accepted; the remaining rows "
+                    "of the returned sample are +inf-discrepancy padding.",
+                    thr0, max_batches, accepted, n)
         buffers.pop("__start", None)
         if pb:
             pb.finish()

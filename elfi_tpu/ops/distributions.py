@@ -44,6 +44,25 @@ def _draw_shape(size, *params):
     return (size,) + b
 
 
+def _ppf_nan_guard(q, val):
+    """scipy parity: ``ppf(q)`` is nan outside ``[0, 1]`` (closed-form
+    formulas would otherwise silently extrapolate)."""
+    q = jnp.asarray(q)
+    return jnp.where((q >= 0) & (q <= 1), val, jnp.nan)
+
+
+def _bisect_ppf(cdf, q, lo, hi, iters=90):
+    """Invert a monotone traceable ``cdf`` by fixed-count bisection on a
+    bracketing interval (elementwise; jit/vmap-safe static trip count)."""
+    def body(_, bracket):
+        lo, hi = bracket
+        mid = 0.5 * (lo + hi)
+        below = cdf(mid) < q
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
 class Distribution:
     """Base class for user-defined distributions (parity with
     ``elfi.Distribution``, reference ``extensions.py:14-111``).
@@ -105,7 +124,7 @@ class uniform(Distribution):
 
     @classmethod
     def ppf(cls, q, loc=0.0, scale=1.0):
-        return loc + scale * jnp.asarray(q)
+        return _ppf_nan_guard(q, loc + scale * jnp.asarray(q))
 
 
 class norm(Distribution):
@@ -161,7 +180,8 @@ class truncnorm(Distribution):
     def ppf(cls, q, a, b, loc=0.0, scale=1.0):
         fa = jsp.ndtr(jnp.asarray(a, jnp.float32))
         fb = jsp.ndtr(jnp.asarray(b, jnp.float32))
-        return loc + scale * jsp.ndtri(fa + jnp.asarray(q) * (fb - fa))
+        val = loc + scale * jsp.ndtri(fa + jnp.asarray(q) * (fb - fa))
+        return _ppf_nan_guard(q, val)
 
 
 class multivariate_normal(Distribution):
@@ -242,7 +262,7 @@ class expon(Distribution):
 
     @classmethod
     def ppf(cls, q, loc=0.0, scale=1.0):
-        return loc - scale * jnp.log1p(-jnp.asarray(q))
+        return _ppf_nan_guard(q, loc - scale * jnp.log1p(-jnp.asarray(q)))
 
 
 class gamma(Distribution):
@@ -267,6 +287,27 @@ class gamma(Distribution):
         z = (jnp.asarray(x, jnp.float32) - loc) / scale
         return jnp.where(z > 0, jsp.gammainc(a, jnp.maximum(z, 0.0)), 0.0)
 
+    @classmethod
+    def ppf(cls, q, a, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        a = jnp.asarray(a, jnp.float32)
+        qb, ab = jnp.broadcast_arrays(q, a)
+        # bracket: cdf is 0 at 0; expand hi elementwise until it covers q
+        qc = jnp.clip(qb, 0.0, 1.0 - 1e-7)
+        hi0 = ab + 10.0 * jnp.sqrt(ab) + 10.0
+
+        def grow(hi):
+            return jnp.where(jsp.gammainc(ab, hi) < qc, hi * 2.0, hi)
+
+        hi = jax.lax.while_loop(
+            lambda hi: jnp.any(jsp.gammainc(ab, hi) < qc), grow, hi0)
+        z = _bisect_ppf(lambda z: jsp.gammainc(ab, z), qc,
+                        jnp.zeros_like(hi), hi)
+        val = loc + scale * z
+        val = jnp.where(qb == 0.0, jnp.asarray(loc, val.dtype), val)
+        val = jnp.where(qb == 1.0, jnp.inf, val)
+        return _ppf_nan_guard(qb, val)
+
 
 class beta(Distribution):
     name = "beta"
@@ -288,6 +329,19 @@ class beta(Distribution):
     def cdf(cls, x, a, b, loc=0.0, scale=1.0):
         z = jnp.clip((jnp.asarray(x, jnp.float32) - loc) / scale, 0.0, 1.0)
         return jsp.betainc(a, b, z)
+
+    @classmethod
+    def ppf(cls, q, a, b, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        qb = jnp.broadcast_arrays(q, a, b)[0]
+        z = _bisect_ppf(lambda z: jsp.betainc(a, b, z), qb,
+                        jnp.zeros_like(qb), jnp.ones_like(qb))
+        val = loc + scale * z
+        val = jnp.where(qb == 0.0, jnp.asarray(loc, val.dtype), val)
+        val = jnp.where(qb == 1.0, jnp.asarray(loc + scale, val.dtype), val)
+        return _ppf_nan_guard(qb, val)
 
 
 class binom(Distribution):

@@ -100,3 +100,7 @@ def test_undeclared_override_raises(ma2):
     fn = prog.traceable(8)
     with pytest.raises(ValueError, match="not declared"):
         fn(jax.random.key(0), jnp.uint32(0), {"t1": jnp.zeros(8)})
+    # the direct run() entry point must enforce the same guard (it used to
+    # silently filter undeclared overrides out)
+    with pytest.raises(ValueError, match="not declared"):
+        prog.run(jax.random.key(0), 0, {"t1": jnp.zeros(8)}, batch_size=8)

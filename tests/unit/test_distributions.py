@@ -111,3 +111,30 @@ def test_cdf_ppf_match_scipy():
     for got, want in cases:
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                    atol=2e-6)
+
+
+def test_gamma_beta_ppf_match_scipy():
+    # bisection-inverted cdf: slightly looser tolerance than closed forms
+    import scipy.stats as ss
+    from elfi_tpu.ops import distributions as d
+
+    q = np.array([0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0], dtype=np.float32)
+    for a in [0.5, 1.0, 3.7]:
+        np.testing.assert_allclose(
+            np.asarray(d.gamma.ppf(q, a, 1.0, 2.0)),
+            ss.gamma.ppf(q, a, 1.0, 2.0), rtol=2e-4, atol=1e-5)
+    for a, b in [(0.5, 0.5), (2.0, 5.0)]:
+        np.testing.assert_allclose(
+            np.asarray(d.beta.ppf(q, a, b, -1.0, 3.0)),
+            ss.beta.ppf(q, a, b, -1.0, 3.0), rtol=2e-4, atol=2e-5)
+
+
+def test_ppf_nan_outside_unit_interval():
+    from elfi_tpu.ops import distributions as d
+
+    bad = np.array([-0.1, 1.1], dtype=np.float32)
+    for dist, args in [(d.uniform, ()), (d.expon, ()), (d.gamma, (2.0,)),
+                       (d.beta, (2.0, 3.0)), (d.truncnorm, (-1.0, 1.0)),
+                       (d.norm, ()), (d.lognorm, (0.5,))]:
+        out = np.asarray(dist.ppf(bad, *args))
+        assert np.all(np.isnan(out)), (dist.name, out)
