@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from ...ops import special
 from ...ops.distributions import truncnorm
-from .gp import _predict_noiseless, gp_cross_cov, gp_neg_lcb_obj
 from .utils import CostFunction, minimize, minimize_traced
 
 __all__ = ["AcquisitionBase", "LCBSC", "MaxVar", "RandMaxVar", "ExpIntVar",
@@ -173,8 +172,9 @@ class LCBSC(AcquisitionBase):
             return None
         Xp, mask, L, alpha, params = factor
         beta = jnp.float32(self._beta(t))
+        neg_lcb = self.model.fns.neg_lcb_obj
         if self.additive_cost is None:
-            return gp_neg_lcb_obj, (Xp, mask, L, alpha, params, beta)
+            return neg_lcb, (Xp, mask, L, alpha, params, beta)
         cost_tr = getattr(self.additive_cost, "traceable", None)
         if cost_tr is None:
             return None
@@ -182,7 +182,7 @@ class LCBSC(AcquisitionBase):
             scale = self.additive_cost.scale
 
             def combined(theta, X, m, Lf, a, p, b):
-                return gp_neg_lcb_obj(theta, X, m, Lf, a, p, b) \
+                return neg_lcb(theta, X, m, Lf, a, p, b) \
                     + scale * cost_tr(theta)
 
             self._combined_obj = combined
@@ -232,10 +232,11 @@ class MaxVar(AcquisitionBase):
         if self._fns is not None:
             return self._fns
         prior_logpdf = self.prior.traceable_logpdf()
+        predict_noiseless = self.model.fns.predict_noiseless
 
         def log_value(theta, Xp, mask, L, alpha, params, eps):
-            mean, var = _predict_noiseless(theta[None], Xp, mask, L, alpha,
-                                           params)
+            mean, var = predict_noiseless(theta[None], Xp, mask, L, alpha,
+                                          params)
             first, second = _indicator_moments(eps, mean[0], var[0],
                                                params["noise"])
             var_p = jnp.maximum(second - first ** 2, 1e-32)
@@ -380,18 +381,31 @@ class RandMaxVar(MaxVar):
         return samples[-1:]
 
 
-@jax.jit
-def _lookahead_state(Xp, mask, L, alpha, params, eps, points):
+_LOOKAHEAD_CACHE = {}
+
+
+def _lookahead_state_fn(fns):
     """Per-round precompute for ExpIntVar, one device dispatch: posterior
     moments at the integration nodes, the whitened training/integration
     cross term ``L^-1 k(X, P)`` that turns each candidate's lookahead
     covariance into a single triangular solve, and the current indicator
-    mean Phi at every node."""
-    mean_p, var_p = _predict_noiseless(points, Xp, mask, L, alpha, params)
-    kxp = gp_cross_cov(Xp, points, params) * mask[:, None]
-    whitened = jax.scipy.linalg.solve_triangular(L, kxp, lower=True)
-    phi_p, _ = _indicator_moments(eps, mean_p, var_p, params["noise"])
-    return mean_p, var_p, whitened, phi_p
+    mean Phi at every node.  Built per GP-kernel bundle so custom kernels
+    flow through."""
+    cached = _LOOKAHEAD_CACHE.get(id(fns))
+    if cached is not None:
+        return cached
+
+    def state(Xp, mask, L, alpha, params, eps, points):
+        mean_p, var_p = fns.predict_noiseless(points, Xp, mask, L, alpha,
+                                              params)
+        kxp = fns.cross_cov(Xp, points, params) * mask[:, None]
+        whitened = jax.scipy.linalg.solve_triangular(L, kxp, lower=True)
+        phi_p, _ = _indicator_moments(eps, mean_p, var_p, params["noise"])
+        return mean_p, var_p, whitened, phi_p
+
+    jitted = jax.jit(state)
+    _LOOKAHEAD_CACHE[id(fns)] = jitted
+    return jitted
 
 
 class ExpIntVar(MaxVar):
@@ -437,16 +451,17 @@ class ExpIntVar(MaxVar):
         if self._loss_fns is not None:
             return self._loss_fns
         prior_logpdf = self.prior.traceable_logpdf()
+        cross_cov = self.model.fns.cross_cov
 
         def loss_one(theta, Xp, mask, L, alpha, params, eps,
                      points, mean_p, var_p, whitened, phi_p, weights):
             # lookahead variance reduction at every integration node from
             # one observation at theta
-            kxt = gp_cross_cov(theta[None], Xp, params)[0] * mask
+            kxt = cross_cov(theta[None], Xp, params)[0] * mask
             v = jax.scipy.linalg.solve_triangular(L, kxt, lower=True)
-            var_new = jnp.maximum(
-                params["sigma2"] + params["bias"] - v @ v, 1e-10)
-            cov = gp_cross_cov(theta[None], points, params)[0] - whitened.T @ v
+            prior_var = cross_cov(theta[None], theta[None], params)[0, 0]
+            var_new = jnp.maximum(prior_var - v @ v, 1e-10)
+            cov = cross_cov(theta[None], points, params)[0] - whitened.T @ v
             shrink = cov ** 2 / (params["noise"] + var_new)
             total = params["noise"] + var_p
             shape = jnp.sqrt(jnp.maximum(total - shrink, 0.0)
@@ -475,7 +490,7 @@ class ExpIntVar(MaxVar):
                 self.density_is.acquire(self._n_samples_imp))
         points = jnp.asarray(self._points, jnp.float32)
         args = self._gp_args()
-        state = _lookahead_state(*args, points)
+        state = _lookahead_state_fn(self.model.fns)(*args, points)
         if refresh_points or self._weights is None:
             if self._prior_logpdf_jit is None:
                 self._prior_logpdf_jit = jax.jit(

@@ -16,6 +16,14 @@ RBF kernel + bias term, Gamma hyperpriors with mean==variance heuristics
   under jit the cache is unnecessary.
 - Hyperparameter MAP fit = multi-restart L-BFGS-B over log-params with a
   jitted value-and-grad of (marginal likelihood + Gamma log-priors).
+
+Custom kernels (reference ``gpy_regression.py:60-96`` accepts a GPy kernel
+object): pass ``kernel=fn`` where ``fn(A, B, params) -> (n, m)`` is a
+traceable cross-covariance over positive hyperparameters named in
+``kernel_params`` (initial values).  All machinery — masked Cholesky,
+MAP fit, predict, autodiff gradients, device closures — is generated per
+kernel by :func:`make_gp_fns` and cached; the built-in RBF+bias kernel is
+just the default instance of the same machinery.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy import special as jsp
 
-__all__ = ["GPRegression"]
+__all__ = ["GPRegression", "rbf_bias_kernel", "make_gp_fns"]
 
 
 def _pad_cap(n):
@@ -37,56 +45,7 @@ def _pad_cap(n):
     return cap
 
 
-@jax.jit
-def _kernel_mats(X, mask, params):
-    """Masked (K + noise I) over the padded buffer; padding rows/cols are
-    identity so the Cholesky is exact for the active block."""
-    sigma2, ell, bias, noise = (params["sigma2"], params["ell"],
-                                params["bias"], params["noise"])
-    r2 = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, axis=-1)
-    K = sigma2 * jnp.exp(-0.5 * r2 / (ell * ell)) + bias
-    m2 = mask[:, None] * mask[None, :]
-    K = K * m2
-    diag = jnp.where(mask > 0, jnp.diag(K) + noise, 1.0)
-    K = K.at[jnp.diag_indices_from(K)].set(diag)
-    return K
-
-
-@jax.jit
-def _posterior_factor(X, y, mask, params):
-    K = _kernel_mats(X, mask, params)
-    L = jnp.linalg.cholesky(K)
-    ym = y * mask
-    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
-    return L, alpha * mask
-
-
-@jax.jit
-def _neg_log_posterior(log_params, X, y, mask, prior_shapes):
-    params = {k: jnp.exp(v) for k, v in
-              zip(("sigma2", "ell", "bias", "noise"), log_params)}
-    K = _kernel_mats(X, mask, params)
-    L = jnp.linalg.cholesky(K)
-    ym = y * mask
-    alpha = jax.scipy.linalg.cho_solve((L, True), ym)
-    n_active = jnp.sum(mask)
-    mll = (-0.5 * jnp.dot(ym, alpha)
-           - jnp.sum(jnp.log(jnp.diag(L)))
-           - 0.5 * n_active * jnp.log(2 * jnp.pi))
-    # Gamma(shape=k, scale=1) log-priors on sigma2/ell/bias in log-space
-    # (with the exp-transform Jacobian), mirroring GPy's from_EV(m, m)
-    logprior = 0.0
-    for i, k in enumerate(prior_shapes):
-        u = log_params[i]
-        logprior = logprior + jnp.where(
-            k > 0, k * u - jnp.exp(u) - jsp.gammaln(k), 0.0)
-    return -(mll + logprior)
-
-
-_neg_log_posterior_grad = jax.jit(jax.value_and_grad(_neg_log_posterior))
-
-
-def gp_cross_cov(A, B, params):
+def rbf_bias_kernel(A, B, params):
     """Traceable RBF+bias cross-covariance matrix k(A, B), (n, m)."""
     r2 = (jnp.sum(A ** 2, 1)[:, None] + jnp.sum(B ** 2, 1)[None, :]
           - 2.0 * A @ B.T)
@@ -94,57 +53,10 @@ def gp_cross_cov(A, B, params):
             + params["bias"])
 
 
-@jax.jit
-def _predict(x, X, mask, L, alpha, params):
-    sigma2, bias, noise = params["sigma2"], params["bias"], params["noise"]
-    kx = gp_cross_cov(x, X, params) * mask[None, :]
-    mu = kx @ alpha
-    v = jax.scipy.linalg.solve_triangular(L, kx.T, lower=True)
-    var = sigma2 + bias - jnp.sum(v * v, axis=0) + noise
-    return mu, jnp.maximum(var, 1e-10)
+rbf_bias_kernel.param_names = ("sigma2", "ell", "bias")
 
-
-@jax.jit
-def _predict_noiseless(x, X, mask, L, alpha, params):
-    mu, var = _predict(x, X, mask, L, alpha, params)
-    return mu, jnp.maximum(var - params["noise"], 1e-10)
-
-
-def _grad_fn(noiseless):
-    pred = _predict_noiseless if noiseless else _predict
-
-    def single(xi, X, mask, L, alpha, params):
-        mu, var = pred(xi[None], X, mask, L, alpha, params)
-        return mu[0], var[0]
-
-    gmu = jax.grad(lambda xi, *a: single(xi, *a)[0])
-    gvar = jax.grad(lambda xi, *a: single(xi, *a)[1])
-
-    @jax.jit
-    def grads(x, X, mask, L, alpha, params):
-        return (jax.vmap(gmu, in_axes=(0, None, None, None, None, None))(
-                    x, X, mask, L, alpha, params),
-                jax.vmap(gvar, in_axes=(0, None, None, None, None, None))(
-                    x, X, mask, L, alpha, params))
-
-    return grads
-
-
-_grads_noisy = _grad_fn(False)
-_grads_noiseless = _grad_fn(True)
-
-
-def gp_mean_obj(theta, X, mask, L, alpha, params):
-    """Stable traceable objective: GP posterior mean at a single point
-    (for device-side multistart minimization)."""
-    mu, _ = _predict(theta[None], X, mask, L, alpha, params)
-    return mu[0]
-
-
-def gp_neg_lcb_obj(theta, X, mask, L, alpha, params, beta):
-    """Stable traceable LCB objective mean - sqrt(beta * var)."""
-    mu, var = _predict_noiseless(theta[None], X, mask, L, alpha, params)
-    return mu[0] - jnp.sqrt(beta * var[0])
+# back-compat alias (acquisitions imported this name)
+gp_cross_cov = rbf_bias_kernel
 
 
 def log_noise_floor(y, mask=None):
@@ -162,33 +74,179 @@ def log_noise_floor(y, mask=None):
     return jnp.log(jnp.maximum(0.01 * var, 1e-8))
 
 
-def optimize_restarts_core(starts, X, y, mask, prior_shapes, lr,
-                           steps=250):
-    """All hyperparameter restarts as one vmapped Adam descent; plain
-    traceable so it can be embedded in fused BO loops."""
-    from .utils import adam_minimize
+class GPFns:
+    """Jitted GP machinery for one kernel function.  Hyperparameters are a
+    dict over ``param_names + ('noise',)``; log-param vectors follow that
+    order with noise LAST (the optimizers pin the noise floor at index -1).
+    """
 
-    lo = jnp.full(4, -12.0).at[3].set(log_noise_floor(y, mask))
+    def __init__(self, kernel):
+        self.kernel = kernel
+        self.param_names = tuple(kernel.param_names) + ("noise",)
+        self.cross_cov = kernel
 
-    def one(u0):
-        return adam_minimize(
-            lambda u: _neg_log_posterior(u, X, y, mask, prior_shapes),
-            u0, steps, lr, lo, jnp.full(4, 12.0))
+        def kernel_mats(X, mask, params):
+            """Masked (K + noise I) over the padded buffer; padding
+            rows/cols are identity so the Cholesky is exact for the active
+            block."""
+            K = kernel(X, X, params)
+            m2 = mask[:, None] * mask[None, :]
+            K = K * m2
+            diag = jnp.where(mask > 0, jnp.diag(K) + params["noise"], 1.0)
+            return K.at[jnp.diag_indices_from(K)].set(diag)
 
-    us, fs = jax.vmap(one)(starts)
-    fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
-    i = jnp.argmin(fs)
-    return us[i], fs[i]
+        def posterior_factor(X, y, mask, params):
+            K = kernel_mats(X, mask, params)
+            L = jnp.linalg.cholesky(K)
+            ym = y * mask
+            alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+            return L, alpha * mask
+
+        names = self.param_names
+
+        def neg_log_posterior(log_params, X, y, mask, prior_shapes):
+            params = {k: jnp.exp(v) for k, v in zip(names, log_params)}
+            K = kernel_mats(X, mask, params)
+            L = jnp.linalg.cholesky(K)
+            ym = y * mask
+            alpha = jax.scipy.linalg.cho_solve((L, True), ym)
+            n_active = jnp.sum(mask)
+            mll = (-0.5 * jnp.dot(ym, alpha)
+                   - jnp.sum(jnp.log(jnp.diag(L)))
+                   - 0.5 * n_active * jnp.log(2 * jnp.pi))
+            # Gamma(shape=k, scale=1) log-priors in log-space (with the
+            # exp-transform Jacobian), mirroring GPy's from_EV(m, m)
+            logprior = 0.0
+            for i in range(len(names)):
+                u = log_params[i]
+                k = prior_shapes[i]
+                logprior = logprior + jnp.where(
+                    k > 0, k * u - jnp.exp(u) - jsp.gammaln(k), 0.0)
+            return -(mll + logprior)
+
+        def prior_var_diag(x, params):
+            return jax.vmap(
+                lambda xi: kernel(xi[None], xi[None], params)[0, 0])(x)
+
+        def predict(x, X, mask, L, alpha, params):
+            kx = kernel(x, X, params) * mask[None, :]
+            mu = kx @ alpha
+            v = jax.scipy.linalg.solve_triangular(L, kx.T, lower=True)
+            var = (prior_var_diag(x, params) - jnp.sum(v * v, axis=0)
+                   + params["noise"])
+            return mu, jnp.maximum(var, 1e-10)
+
+        def predict_noiseless(x, X, mask, L, alpha, params):
+            mu, var = predict(x, X, mask, L, alpha, params)
+            return mu, jnp.maximum(var - params["noise"], 1e-10)
+
+        def _grad_fn(pred):
+            def single(xi, X, mask, L, alpha, params):
+                mu, var = pred(xi[None], X, mask, L, alpha, params)
+                return mu[0], var[0]
+
+            gmu = jax.grad(lambda xi, *a: single(xi, *a)[0])
+            gvar = jax.grad(lambda xi, *a: single(xi, *a)[1])
+
+            def grads(x, X, mask, L, alpha, params):
+                ax = (0, None, None, None, None, None)
+                return (jax.vmap(gmu, in_axes=ax)(x, X, mask, L, alpha,
+                                                  params),
+                        jax.vmap(gvar, in_axes=ax)(x, X, mask, L, alpha,
+                                                   params))
+            return grads
+
+        def mean_obj(theta, X, mask, L, alpha, params):
+            """Stable traceable objective: GP posterior mean at a single
+            point (for device-side multistart minimization)."""
+            mu, _ = predict(theta[None], X, mask, L, alpha, params)
+            return mu[0]
+
+        def neg_lcb_obj(theta, X, mask, L, alpha, params, beta):
+            """Stable traceable LCB objective mean - sqrt(beta * var)."""
+            mu, var = predict_noiseless(theta[None], X, mask, L, alpha,
+                                        params)
+            return mu[0] - jnp.sqrt(beta * var[0])
+
+        def optimize_restarts_core(starts, X, y, mask, prior_shapes, lr,
+                                   steps=250):
+            """All hyperparameter restarts as one vmapped Adam descent;
+            plain traceable so it can be embedded in fused BO loops."""
+            from .utils import adam_minimize
+
+            dim = starts.shape[-1]
+            lo = jnp.full(dim, -12.0).at[-1].set(log_noise_floor(y, mask))
+
+            def one(u0):
+                return adam_minimize(
+                    lambda u: neg_log_posterior(u, X, y, mask, prior_shapes),
+                    u0, steps, lr, lo, jnp.full(dim, 12.0))
+
+            us, fs = jax.vmap(one)(starts)
+            fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+            i = jnp.argmin(fs)
+            return us[i], fs[i]
+
+        self.kernel_mats = jax.jit(kernel_mats)
+        self.posterior_factor = jax.jit(posterior_factor)
+        self.neg_log_posterior = neg_log_posterior
+        self.neg_log_posterior_grad = jax.jit(
+            jax.value_and_grad(neg_log_posterior))
+        self.predict = jax.jit(predict)
+        self.predict_noiseless = jax.jit(predict_noiseless)
+        self.grads_noisy = jax.jit(_grad_fn(predict))
+        self.grads_noiseless = jax.jit(_grad_fn(predict_noiseless))
+        self.mean_obj = mean_obj
+        self.neg_lcb_obj = neg_lcb_obj
+        self.optimize_restarts_core = optimize_restarts_core
+        self.optimize_restarts = jax.jit(optimize_restarts_core)
 
 
-_optimize_restarts = jax.jit(optimize_restarts_core)
+_FNS_CACHE = {}
+
+
+def make_gp_fns(kernel):
+    """Build (or fetch the cached) jitted GP machinery for ``kernel``."""
+    key = id(kernel)
+    fns = _FNS_CACHE.get(key)
+    if fns is None or fns.kernel is not kernel:
+        fns = _FNS_CACHE[key] = GPFns(kernel)
+    return fns
+
+
+_DEFAULT_FNS = make_gp_fns(rbf_bias_kernel)
+
+# Back-compat module-level names (fused BOLFI, acquisitions, posteriors and
+# tests import these; they are the default-kernel bundle's members).
+_kernel_mats = _DEFAULT_FNS.kernel_mats
+_posterior_factor = _DEFAULT_FNS.posterior_factor
+_neg_log_posterior = _DEFAULT_FNS.neg_log_posterior
+_neg_log_posterior_grad = _DEFAULT_FNS.neg_log_posterior_grad
+_predict = _DEFAULT_FNS.predict
+_predict_noiseless = _DEFAULT_FNS.predict_noiseless
+_grads_noisy = _DEFAULT_FNS.grads_noisy
+_grads_noiseless = _DEFAULT_FNS.grads_noiseless
+gp_mean_obj = _DEFAULT_FNS.mean_obj
+gp_neg_lcb_obj = _DEFAULT_FNS.neg_lcb_obj
+optimize_restarts_core = _DEFAULT_FNS.optimize_restarts_core
+_optimize_restarts = _DEFAULT_FNS.optimize_restarts
 
 
 class GPRegression:
-    """Drop-in equivalent of the reference ``GPyRegression``."""
+    """Drop-in equivalent of the reference ``GPyRegression``.
+
+    ``kernel``/``kernel_params``/``kernel_priors`` give custom-kernel
+    support (reference accepts a GPy kernel object,
+    ``gpy_regression.py:60-96``): ``kernel(A, B, params)`` is a traceable
+    cross-covariance, ``kernel_params`` maps its positive hyperparameter
+    names to initial values (ordering = optimization ordering), and
+    ``kernel_priors`` optionally maps names to Gamma(shape, scale=1)
+    log-prior shapes (default: no prior).
+    """
 
     def __init__(self, parameter_names=None, bounds=None, optimizer="adam",
-                 max_opt_iters=50, gp=None, seed=0, **gp_params):
+                 max_opt_iters=50, gp=None, seed=0, kernel=None,
+                 kernel_params=None, kernel_priors=None, **gp_params):
         if parameter_names is None:
             input_dim = 1
         elif isinstance(parameter_names, (list, tuple)):
@@ -202,6 +260,22 @@ class GPRegression:
         if len(bounds) != input_dim:
             raise ValueError("len(bounds) does not match input dimension")
 
+        kernel = kernel or gp_params.pop("kernel", None)
+        self.custom_kernel = kernel is not None
+        if self.custom_kernel:
+            if kernel_params is None:
+                raise ValueError(
+                    "a custom kernel requires kernel_params (dict of "
+                    "initial positive hyperparameter values)")
+            if not hasattr(kernel, "param_names"):
+                kernel.param_names = tuple(kernel_params.keys())
+            self._kernel = kernel
+        else:
+            self._kernel = rbf_bias_kernel
+        self.fns = make_gp_fns(self._kernel)
+        self._kernel_params = dict(kernel_params or {})
+        self._kernel_priors = dict(kernel_priors or {})
+
         self.parameter_names = parameter_names
         self.input_dim = input_dim
         self.bounds = [tuple(b) for b in bounds]
@@ -214,7 +288,7 @@ class GPRegression:
         self._x = None            # (n, d) numpy
         self._y = None            # (n,) numpy
         self.params = None        # dict of floats
-        self._prior_shapes = np.zeros(4)
+        self._prior_shapes = np.zeros(len(self.fns.param_names))
         self._factor = None       # (X_pad, mask, L, alpha)
         self._n_restarts = int(gp_params.pop("n_restarts", 4))
 
@@ -257,13 +331,19 @@ class GPRegression:
         """Heuristic init + Gamma(mean=var) hyperpriors (reference
         ``gpy_regression.py:243-280``)."""
         y = self._y
+        noise_var = self.gp_params.get("noise_var") or \
+            max(np.max(y) ** 2 / 100.0, 1e-6)
+        if self.custom_kernel:
+            self.params = dict(self._kernel_params, noise=float(noise_var))
+            self._prior_shapes = np.array(
+                [float(self._kernel_priors.get(n, 0.0))
+                 for n in self._kernel.param_names] + [0.0])
+            return
         bmin = min(b[0] for b in self.bounds)
         bmax = max(b[1] for b in self.bounds)
         length_scale = (bmax - bmin) / 3.0
         kernel_var = (np.max(np.abs(y)) / 3.0) ** 2
         bias_var = kernel_var / 4.0
-        noise_var = self.gp_params.get("noise_var") or \
-            max(np.max(y) ** 2 / 100.0, 1e-6)
         self.params = dict(sigma2=float(max(kernel_var, 1e-6)),
                            ell=float(length_scale),
                            bias=float(max(bias_var, 1e-6)),
@@ -272,6 +352,10 @@ class GPRegression:
         # noise, as in GPy's default GPRegression)
         self._prior_shapes = np.array([kernel_var, length_scale, bias_var,
                                        0.0])
+
+    def _log_param_vector(self):
+        return np.log(np.asarray([self.params[k]
+                                  for k in self.fns.param_names]))
 
     def update(self, x, y, optimize=False):
         """Append evidence; refactorise the posterior (reference
@@ -304,9 +388,10 @@ class GPRegression:
         Xp, yp, mask = self._padded()
         params = {k: jnp.asarray(v, jnp.float32)
                   for k, v in self.params.items()}
-        L, alpha = _posterior_factor(Xp.astype(jnp.float32),
-                                     yp.astype(jnp.float32),
-                                     mask.astype(jnp.float32), params)
+        L, alpha = self.fns.posterior_factor(Xp.astype(jnp.float32),
+                                             yp.astype(jnp.float32),
+                                             mask.astype(jnp.float32),
+                                             params)
         self._factor = (Xp.astype(jnp.float32), mask.astype(jnp.float32),
                         L, alpha, params)
 
@@ -326,7 +411,7 @@ class GPRegression:
         shapes = jnp.asarray(self._prior_shapes, jnp.float32)
 
         def obj(u):
-            val, grad = _neg_log_posterior_grad(
+            val, grad = self.fns.neg_log_posterior_grad(
                 jnp.asarray(u, jnp.float32), Xp, yp, mask, shapes)
             val = float(val)
             grad = np.asarray(grad, np.float64)
@@ -334,12 +419,12 @@ class GPRegression:
                 return 1e10, np.zeros_like(grad)
             return val, grad
 
-        u0 = np.log(np.asarray([self.params["sigma2"], self.params["ell"],
-                                self.params["bias"], self.params["noise"]]))
+        u0 = self._log_param_vector()
+        dim = len(u0)
         noise_floor = float(np.log(max(0.01 * np.var(self._y), 1e-8)))
-        opt_bounds = [(-12, 12)] * 3 + [(noise_floor, 12)]
+        opt_bounds = [(-12, 12)] * (dim - 1) + [(noise_floor, 12)]
         rng = np.random.RandomState(self.seed + self.n_evidence)
-        starts = [u0] + [u0 + rng.normal(0, 1.0, size=4)
+        starts = [u0] + [u0 + rng.normal(0, 1.0, size=dim)
                          for _ in range(self._n_restarts - 1)]
         best, best_val = u0, np.inf
         for s in starts:
@@ -351,26 +436,23 @@ class GPRegression:
                     best, best_val = r.x, r.fun
             except Exception:
                 continue
-        self.params = dict(zip(("sigma2", "ell", "bias", "noise"),
-                               np.exp(best).tolist()))
+        self.params = dict(zip(self.fns.param_names, np.exp(best).tolist()))
         self._refactor()
 
     def _optimize_adam(self):
         Xp, yp, mask = self._padded()
-        u0 = np.log(np.asarray([self.params["sigma2"], self.params["ell"],
-                                self.params["bias"], self.params["noise"]],
-                               np.float32))
+        u0 = self._log_param_vector().astype(np.float32)
+        dim = len(u0)
         rng = np.random.RandomState(self.seed + self.n_evidence)
-        starts = np.vstack([u0] + [u0 + rng.normal(0, 1.0, 4)
+        starts = np.vstack([u0] + [u0 + rng.normal(0, 1.0, dim)
                                    for _ in range(self._n_restarts - 1)])
-        best, _ = _optimize_restarts(
+        best, _ = self.fns.optimize_restarts(
             jnp.asarray(starts, jnp.float32), Xp.astype(jnp.float32),
             yp.astype(jnp.float32), mask.astype(jnp.float32),
             jnp.asarray(self._prior_shapes, jnp.float32), jnp.float32(0.1))
         vals = np.exp(np.asarray(best, np.float64))
         if np.all(np.isfinite(vals)):
-            self.params = dict(zip(("sigma2", "ell", "bias", "noise"),
-                                   vals.tolist()))
+            self.params = dict(zip(self.fns.param_names, vals.tolist()))
         self._refactor()
 
     # -- prediction -------------------------------------------------------------------
@@ -381,7 +463,7 @@ class GPRegression:
         if self._factor is None:
             return np.zeros((len(x), 1)), np.ones((len(x), 1))
         Xp, mask, L, alpha, params = self._factor
-        fn = _predict_noiseless if noiseless else _predict
+        fn = self.fns.predict_noiseless if noiseless else self.fns.predict
         mu, var = fn(jnp.asarray(x), Xp, mask, L, alpha, params)
         return np.asarray(mu)[:, None], np.asarray(var)[:, None]
 
@@ -399,7 +481,8 @@ class GPRegression:
             return (np.zeros((len(x), self.input_dim)),
                     np.zeros((len(x), self.input_dim)))
         Xp, mask, L, alpha, params = self._factor
-        gmu, gvar = _grads_noisy(jnp.asarray(x), Xp, mask, L, alpha, params)
+        gmu, gvar = self.fns.grads_noisy(jnp.asarray(x), Xp, mask, L, alpha,
+                                         params)
         return np.asarray(gmu), np.asarray(gvar)
 
     def predictive_gradient_mean(self, x):
@@ -412,7 +495,7 @@ class GPRegression:
         if self._factor is None:
             raise ValueError("GP has no evidence yet")
         Xp, mask, L, alpha, params = self._factor
-        fn = _predict_noiseless if noiseless else _predict
+        fn = self.fns.predict_noiseless if noiseless else self.fns.predict
 
         def pred(x):
             return fn(x, Xp, mask, L, alpha, params)

@@ -110,12 +110,12 @@ class BayesianOptimization(ParameterInference):
         self.objective["n_sim"] = n_evidence - self.n_precomputed_evidence
 
     def extract_result(self):
-        from .bo.gp import gp_mean_obj
         from .bo.utils import minimize_traced
         if getattr(self.target_model, "_factor", None) is not None:
             import jax
             Xp, mask, L, alpha, params = self.target_model._factor
-            x_min, _ = minimize_traced(gp_mean_obj, self.target_model.bounds,
+            x_min, _ = minimize_traced(self.target_model.fns.mean_obj,
+                                       self.target_model.bounds,
                                        args=(Xp, mask, L, alpha, params),
                                        n_starts=20, steps=200,
                                        key=jax.random.key(self.seed))
@@ -238,6 +238,9 @@ class BOLFI(BayesianOptimization):
                 and self.acquisition_method.additive_cost is None
                 and self.acquisition_method.constraints is None
                 and not prog.host
+                # the fused scan hardcodes the RBF+bias hyperparameter
+                # heuristics; custom kernels go through the standard loop
+                and not getattr(self.target_model, "custom_kernel", False)
                 and self.state["n_evidence"] == 0)
 
     def _fused_fit(self, n_evidence):

@@ -32,12 +32,11 @@ class BolfiPosterior:
         if threshold is None:
             # threshold = optimized minimum of the GP mean (reference
             # ``posteriors.py:64-78``), found fully on device
-            from .bo.gp import gp_mean_obj
             from .bo.utils import minimize_traced
             if getattr(model, "_factor", None) is not None:
                 Xp, mask, L, alpha, params = model._factor
                 _, minval = minimize_traced(
-                    gp_mean_obj, model.bounds,
+                    model.fns.mean_obj, model.bounds,
                     args=(Xp, mask, L, alpha, params),
                     n_starts=n_inits, steps=max(100, min(max_opt_iters, 300)),
                     key=jax.random.key(seed))

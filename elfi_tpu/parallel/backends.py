@@ -166,7 +166,11 @@ class ShardedBackend(BackendBase):
         return int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
 
     def _sharded_fn(self, program, batch_size, override_names):
-        key = (id(program), batch_size, override_names)
+        # NOT keyed by id(program): ids are reused after GC, which would
+        # silently serve a stale executable for a different program.
+        key = (program.model.revision, program.outputs,
+               tuple(sorted(program.override_names)), batch_size,
+               override_names)
         if key in self._compiled:
             return self._compiled[key]
         if batch_size % self.n_devices:

@@ -73,3 +73,63 @@ def test_stochastic_optimization():
         lambda x: np.atleast_1d(np.sum((x - 0.5) ** 2)), [(0, 1)],
         maxiter=50, seed=3)
     assert abs(loc[0] - 0.5) < 1e-2
+
+
+def _matern32(A, B, params):
+    import jax.numpy as jnp
+    r2 = (jnp.sum(A ** 2, 1)[:, None] + jnp.sum(B ** 2, 1)[None, :]
+          - 2.0 * A @ B.T)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    z = jnp.sqrt(3.0) * r / params["lengthscale"]
+    return params["variance"] * (1.0 + z) * jnp.exp(-z)
+
+
+def test_gp_custom_kernel_fit_predict():
+    """Reference GPyRegression accepts a user kernel object
+    (gpy_regression.py:60-96); here a traceable cross-covariance fn."""
+    rng = np.random.RandomState(1)
+    X = rng.uniform(-2, 2, size=(25, 1))
+    y = np.sin(2 * X[:, 0]) + 0.05 * rng.randn(25)
+    gp = GPRegression(["x"], bounds=[(-2, 2)], kernel=_matern32,
+                      kernel_params={"variance": 1.0, "lengthscale": 0.8})
+    gp.update(X, y, optimize=True)
+    assert gp.custom_kernel
+    xs = np.linspace(-1.8, 1.8, 9)[:, None]
+    mu, var = gp.predict(xs)
+    np.testing.assert_allclose(mu[:, 0], np.sin(2 * xs[:, 0]), atol=0.3)
+    assert np.all(var > 0)
+    # autodiff gradients agree with finite differences
+    gmu, _ = gp.predictive_gradients(xs)
+    eps = 1e-3
+    fd = (gp.predict(xs + eps)[0] - gp.predict(xs - eps)[0]) / (2 * eps)
+    np.testing.assert_allclose(gmu[:, 0], fd[:, 0], atol=0.05)
+    # device closure (used by NUTS/posteriors) routes through the kernel
+    pred = gp.device_predict(noiseless=True)
+    import jax.numpy as jnp
+    mu_dev, _ = pred(jnp.asarray(xs, jnp.float32))
+    np.testing.assert_allclose(np.asarray(mu_dev), mu[:, 0], atol=1e-4)
+
+
+def test_gp_custom_kernel_requires_params():
+    with pytest.raises(ValueError, match="kernel_params"):
+        GPRegression(["x"], bounds=[(-2, 2)], kernel=_matern32)
+
+
+def test_bolfi_custom_kernel_end_to_end():
+    """BOLFI (standard loop + LCBSC traced path + posterior threshold
+    optimization) must flow a custom kernel through every stage."""
+    import elfi_tpu as elfi
+    import jax.numpy as jnp
+    from elfi_tpu.models import ma2
+    m = ma2.get_model(seed_obs=4)
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d_ck")
+    gp = GPRegression(m.parameter_names, bounds=[(-2, 2), (-1, 1)],
+                      kernel=_matern32,
+                      kernel_params={"variance": 1.0, "lengthscale": 1.0})
+    bolfi = elfi.BOLFI(m["log_d_ck"], batch_size=1, initial_evidence=10,
+                       update_interval=5, seed=7, target_model=gp,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)})
+    post = bolfi.fit(n_evidence=16, bar=False)
+    assert bolfi.target_model.custom_kernel
+    assert np.isfinite(post.threshold)
+    assert np.isfinite(float(post.logpdf(np.array([0.5, 0.1]))))
