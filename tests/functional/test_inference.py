@@ -1,10 +1,13 @@
 """Statistical accuracy gate: every method recovers the MA2 posterior on
 informative data (reference ``tests/functional/test_inference.py:16-56``).
 
-seed_obs=6 was calibrated so the TRUE rejection posterior mean (2M sims on
-hardware) is (0.569, 0.236), within 0.05 of the generating parameters
-(0.6, 0.2) — the reference's informative-data setup.  Tolerances scale
-with each method's approximation quality and the CI simulation budget."""
+seed_obs=271 was calibrated over a 500-seed scan against a shared 2M-sim
+pool: the TRUE rejection posterior mean at quantile 2.4e-4 is
+(0.593, 0.215), within 0.016 of the generating parameters (0.6, 0.2) —
+the reference's informative-data setup (its ``seed_obs=4`` plays the same
+role under numpy's RNG stream).  Sampling methods gate at the reference's
+0.05 (``test_inference.py:26-36``); surrogate/optimization methods
+(BOLFI/BSL/ROMC) gate at 0.1, tighter than the reference's 0.15-0.2."""
 
 import numpy as np
 import pytest
@@ -19,7 +22,7 @@ TRUE = np.array([0.6, 0.2])
 
 @pytest.fixture(scope="module")
 def m6():
-    return ma2.get_model(seed_obs=6)
+    return ma2.get_model(seed_obs=271)
 
 
 def check(res, atol, weights=None):
@@ -38,20 +41,20 @@ def check(res, atol, weights=None):
 def test_rejection_accuracy(m6):
     rej = elfi.Rejection(m6["d"], batch_size=1 << 14, seed=1)
     res = rej.sample(1000, n_sim=1 << 19, bar=False)
-    check(res, 0.08)
+    check(res, 0.05)
 
 
 def test_rejection_threshold_accuracy(m6):
     rej = elfi.Rejection(m6["d"], batch_size=1 << 14, seed=2)
     res = rej.sample(400, threshold=0.1, bar=False)
     assert np.all(res.outputs["d"] <= 0.1)
-    check(res, 0.1)
+    check(res, 0.05)
 
 
 def test_smc_accuracy(m6):
     smc = elfi.SMC(m6["d"], batch_size=2000, seed=3)
     res = smc.sample(500, quantiles=[0.25, 0.25, 0.25], bar=False)
-    check(res, 0.12)
+    check(res, 0.05)
 
 
 def test_adaptive_threshold_smc_accuracy(m6):
@@ -63,7 +66,7 @@ def test_adaptive_threshold_smc_accuracy(m6):
                                                     max_iter=150,
                                                     abs_tol=0.01))
     res = smc.sample(400, max_iter=4, bar=False)
-    check(res, 0.15)
+    check(res, 0.05)
 
 
 def test_bolfi_accuracy(m6):
@@ -74,14 +77,14 @@ def test_bolfi_accuracy(m6):
                        acq_noise_var=0.1, seed=5)
     bolfi.fit(n_evidence=120, bar=False)
     res = bolfi.sample(1200, n_chains=4, bar=False)
-    check(res, 0.3)  # surrogate posterior, coarse budget
+    check(res, 0.1)  # surrogate posterior (reference gates BOLFI at 0.2)
 
 
 def test_bsl_accuracy(m6):
     bsl = elfi.BSL(m6, n_sim_round=600, batch_size=600, seed=6)
     res = bsl.sample(150, sigma_proposals=np.eye(2) * 0.05, burn_in=30,
                      bar=False)
-    check(res, 0.25)
+    check(res, 0.1)  # reference gates BSL at 0.15
 
 
 def test_romc_accuracy(m6):
@@ -89,4 +92,4 @@ def test_romc_accuracy(m6):
     romc.solve_problems(n1=60, seed=8)
     romc.estimate_regions(eps_filter=0.1)
     res = romc.sample(n2=30, seed=9)
-    check(res, 0.25)
+    check(res, 0.1)  # reference compares ROMC to rejection at atol 0.1
