@@ -85,6 +85,9 @@ class CompiledProgram:
         d = self.__dict__.copy()
         d["_observed"] = {}
         d["_jitted"] = {}
+        # compiled fused-loop chunk closures attached by samplers are
+        # process-local (jitted locals, unpicklable) — drop them too
+        d.pop("_fused_chunks", None)
         return d
 
     def __setstate__(self, d):

@@ -32,3 +32,55 @@ def test_implementing_methods_doc(ma2):
 def test_methods_doc_snippets_are_valid_python(ma2):
     for block in _doc_code_blocks("docs/methods.md"):
         compile(block, "<docs/methods.md>", "exec")
+
+
+def _exec_doc(path):
+    """Execute every python block of a doc in one shared module namespace
+    (a real module so classes defined in the doc pickle, as they would in
+    a user script; the reference executes its tutorials the same way)."""
+    import sys
+    import types
+
+    mod_name = "doc_exec_" + re.sub(r"\W", "_", path)
+    mod = types.ModuleType(mod_name)
+    sys.modules[mod_name] = mod
+    try:
+        for i, block in enumerate(_doc_code_blocks(path)):
+            try:
+                exec(compile(block, f"<{path} block {i}>", "exec"),
+                     mod.__dict__)
+            except Exception as e:
+                raise AssertionError(
+                    f"{path} block {i} failed: {e}\n--- block ---\n{block}"
+                ) from e
+        return mod.__dict__
+    finally:
+        sys.modules.pop(mod_name, None)
+
+
+def test_tutorial_doc():
+    _exec_doc("docs/tutorial.md")
+
+
+def test_parallelization_doc():
+    _exec_doc("docs/parallelization.md")
+
+
+def test_bolfi_doc():
+    _exec_doc("docs/bolfi.md")
+
+
+def test_external_doc(tmp_path):
+    import os
+    import shutil
+
+    import pytest
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    cwd = os.getcwd()
+    docs = os.path.join(cwd, "docs", "external.md")
+    try:
+        os.chdir(tmp_path)   # bdm compiles ./bdm + writes exchange files
+        _exec_doc(docs)
+    finally:
+        os.chdir(cwd)
