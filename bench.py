@@ -8,6 +8,19 @@ Baseline: reference multiprocessing client does ~254k sims/s on MA2
 (BASELINE.md, ``docs/usage/parallelization.rst:64-73``).  The warmup run
 uses the identical chunk shapes as the measured run so the measurement is
 steady-state execution, not XLA compilation.
+
+Every phase carries an ACCURACY VERDICT (BASELINE.md north star:
+"posterior match to statistical tolerance on MA2/Ricker/g-and-k"):
+- MA2 rejection gates against the generating parameters on a calibrated
+  observed dataset (seed_obs=271, true posterior mean within 0.016 of
+  (0.6, 0.2) — see tests/functional/test_inference.py).
+- Ricker BOLFI and g-and-k ROMC gate against a high-budget fused-rejection
+  ground truth computed in the same run on the SAME observed data (the ABC
+  posterior itself is biased away from the generating values with these
+  summaries, so truth = the ABC posterior, not the generator).
+- Gauss SMC gates against the observed sample mean (the analytic posterior
+  mean for a flat prior).
+- BSL gates against the generating parameters at 0.1.
 """
 
 import json
@@ -22,7 +35,8 @@ BASELINE_SIMS_PER_S = 254_000
 def _bench_bolfi_ricker():
     """North-star #2: BOLFI to posterior on Ricker, target < 60 s
     (fused device BO loop + vmapped NUTS; priors match surrogate bounds as
-    in the reference BOLFI recipe)."""
+    in the reference BOLFI recipe).  Accuracy: posterior means within 15%
+    of each prior's width of the fused-rejection ground truth."""
     import time
     from functools import partial
 
@@ -51,22 +65,48 @@ def _bench_bolfi_ricker():
     elfi.Discrepancy(chi_squared, s1, s2, s3, model=m, name="d")
     elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
 
+    # ground truth: the rejection-ABC posterior on the same data
+    gt = elfi.Rejection(m["d"], batch_size=1 << 17, seed=9).sample(
+        2000, n_sim=1 << 22, bar=False)
+    gt_means = {k: float(np.mean(v)) for k, v in gt.samples.items()}
+    gt_sds = {k: float(np.std(v)) for k, v in gt.samples.items()}
+
+    # per-dim acquisition noise ~ (2.5% of each prior width)^2; a scalar
+    # noise_var is badly scaled when ranges differ 16x (t2 vs t3)
+    noise = {"t1": 0.01, "t2": 0.0015, "t3": 0.36}
     t0 = time.perf_counter()
-    bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=30,
-                       update_interval=10,
+    bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=40,
+                       update_interval=20,
                        bounds={"t1": (3, 5), "t2": (0.05, 0.8),
                                "t3": (4, 16)},
-                       acq_noise_var=0.05, seed=1)
-    bolfi.fit(n_evidence=150, bar=False)
+                       acq_noise_var=noise, seed=1)
+    bolfi.fit(n_evidence=500, bar=False)
     res = bolfi.sample(1000, n_chains=4, bar=False)
     wall = time.perf_counter() - t0
     means = {k: round(float(np.ravel(v)[0]), 3)
              for k, v in res.sample_means.items()}
-    return round(wall, 2), means
+    # Gate: surrogate posterior mean within 2 ABC-posterior SDs of the
+    # rejection ground-truth mean, per parameter.  This is the honest
+    # scale for this problem: the Ricker summaries identify t3 strongly
+    # (gt sd 0.94 vs prior sd 3.46) and t2 barely (0.19 vs 0.22), so
+    # absolute tolerances either mask t3 failures or are unattainable for
+    # t1/t2; across 4 BOLFI seeds the worst observed deviation was 1.8 sd
+    # while broken fits land at 3-6 sd.
+    tol = {k: 2.0 * gt_sds[k] for k in gt_sds}
+    ok = all(abs(means[k] - gt_means[k]) < tol[k] for k in tol)
+    acc = {"ok": bool(ok),
+           "ground_truth_rejection_means": {k: round(v, 3)
+                                            for k, v in gt_means.items()},
+           "ground_truth_rejection_sds": {k: round(v, 3)
+                                          for k, v in gt_sds.items()},
+           "tolerance_2sd": {k: round(v, 3) for k, v in tol.items()}}
+    return round(wall, 2), means, acc
 
 
 def _bench_smc_gauss2d():
-    """2D-Gauss SMC-ABC (BASELINE.md config): fused device rounds."""
+    """2D-Gauss SMC-ABC (BASELINE.md config): fused device rounds.
+    Accuracy: weighted posterior mean within 0.05 of the observed sample
+    mean per dimension."""
     import numpy as np
 
     import elfi_tpu as elfi
@@ -74,27 +114,35 @@ def _bench_smc_gauss2d():
 
     m = gauss.get_model(n_obs=50, true_params=[4.0, 2.0], nd_mean=True,
                         cov_matrix=np.eye(2))
+    obs_mean = np.asarray(list(m.observed.values())[0]).reshape(-1, 2).mean(0)
     elfi.SMC(m["d"], batch_size=16384, seed=3).sample(
         2000, thresholds=[2.0, 1.0, 0.5, 0.3], bar=False)   # warmup/compile
     smc = elfi.SMC(m["d"], batch_size=16384, seed=4)
     t0 = time.perf_counter()
     res = smc.sample(2000, thresholds=[2.0, 1.0, 0.5, 0.3], bar=False)
     wall = time.perf_counter() - t0
-    means = {k: round(float(np.ravel(v)[0]), 3)
-             for k, v in res.sample_means.items()}
-    return round(wall, 2), means
+    w = res.weights / res.weights.sum()
+    means = {k: round(float(np.sum(np.asarray(v).ravel() * w)), 3)
+             for k, v in res.samples.items()}
+    errs = np.abs(np.asarray(list(means.values())) - obs_mean)
+    acc = {"ok": bool(np.all(errs < 0.05)),
+           "observed_sample_mean": [round(float(v), 3) for v in obs_mean],
+           "tolerance": 0.05}
+    return round(wall, 2), means, acc
 
 
 def _bench_bsl_ma2():
     """MA2 BSL with Warton shrinkage (BASELINE.md config): the whole
     1000-iteration MH chain (proposals, per-round 500-sim batches,
-    synthetic likelihood, accepts) runs as ONE jitted lax.scan."""
+    synthetic likelihood, accepts) runs as ONE jitted lax.scan.
+    Accuracy: chain means within 0.1 of the generating parameters on the
+    calibrated observed dataset."""
     import numpy as np
 
     import elfi_tpu as elfi
     from elfi_tpu.models import ma2
 
-    m = ma2.get_model(seed_obs=4)
+    m = ma2.get_model(seed_obs=271)
     lik = elfi.methods.bsl.standard_likelihood(shrinkage="warton",
                                                penalty=0.3)
     kw = dict(n_sim_round=500, feature_names=["S1", "S2"], likelihood=lik)
@@ -108,7 +156,44 @@ def _bench_bsl_ma2():
     wall = time.perf_counter() - t0
     means = {k: round(float(np.ravel(v)[0]), 3)
              for k, v in res.sample_means.items()}
-    return round(wall, 2), means
+    acc = {"ok": bool(abs(means["t1"] - 0.6) < 0.1
+                      and abs(means["t2"] - 0.2) < 0.1),
+           "generating_params": [0.6, 0.2], "tolerance": 0.1}
+    return round(wall, 2), means, acc
+
+
+def _bench_romc_gnk():
+    """g-and-k ROMC (BASELINE.md config 5): vmapped multi-start solves,
+    traceable regions, vectorised posterior sampling.  Accuracy: weighted
+    means within (0.3, 0.3, 1.5, 0.15) of the fused-rejection ground truth
+    on the same data (g is weakly identified by design: the g-and-k
+    skewness term saturates for g >~ 2, so its ABC posterior is wide)."""
+    import numpy as np
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import gnk
+
+    m = gnk.get_model(n_obs=50, seed_obs=1)
+    gt = elfi.Rejection(m["d"], batch_size=1 << 14, seed=8).sample(
+        1000, n_sim=1 << 20, bar=False)
+    gt_means = {k: float(np.mean(v)) for k, v in gt.samples.items()}
+
+    t0 = time.perf_counter()
+    romc = elfi.ROMC(m["d"], bounds=[(0, 10)] * 4, seed=5)
+    romc.solve_problems(n1=50, seed=6)
+    romc.estimate_regions(eps_filter=romc.compute_eps(0.5))
+    res = romc.sample(n2=20, seed=7)
+    wall = time.perf_counter() - t0
+    w = res.weights / res.weights.sum()
+    means = {k: round(float(np.sum(np.asarray(v) * w)), 3)
+             for k, v in res.samples.items()}
+    tol = {"A": 0.3, "B": 0.3, "g": 1.5, "k": 0.15}
+    ok = all(abs(means[k] - gt_means[k]) < tol[k] for k in tol)
+    acc = {"ok": bool(ok),
+           "ground_truth_rejection_means": {k: round(v, 3)
+                                            for k, v in gt_means.items()},
+           "tolerance": tol}
+    return round(wall, 2), means, acc
 
 
 def main():
@@ -123,21 +208,25 @@ def main():
     from elfi_tpu.models import ma2, ma2_pallas
 
     # BOLFI first (threefry: jax.random.poisson needs it) ...
-    bolfi_s, bolfi_means = _bench_bolfi_ricker()
-    smc_s, smc_means = _bench_smc_gauss2d()
-    bsl_s, bsl_means = _bench_bsl_ma2()
-
-    # ... then the rejection benchmark with the hardware RNG (~1.4x faster
-    # normal generation than threefry on TPU; still fully deterministic
-    # per (seed, batch_index))
-    jax.config.update("jax_default_prng_impl", "rbg")
+    bolfi_s, bolfi_means, bolfi_acc = _bench_bolfi_ricker()
+    smc_s, smc_means, smc_acc = _bench_smc_gauss2d()
+    bsl_s, bsl_means, bsl_acc = _bench_bsl_ma2()
+    romc_s, romc_means, romc_acc = _bench_romc_gnk()
 
     batch_size = 1 << 17          # 131072 sims per graph pass (VMEM sweet spot)
     n_samples = 5000
     n_sim = 2048 * batch_size     # ~268M simulations per run (amortizes the
     #                               ~0.2s dispatch+fetch floor of the tunnel)
 
-    m = ma2.get_model(seed_obs=4)
+    # build the model (and its observed data) with the default threefry
+    # PRNG so the observed dataset is the calibrated one...
+    m = ma2.get_model(seed_obs=271)
+    mp = ma2_pallas.get_model(seed_obs=271)
+
+    # ... then run the rejection benchmark with the hardware RNG (~1.4x
+    # faster normal generation than threefry on TPU; still fully
+    # deterministic per (seed, batch_index))
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     # warmup: identical shapes/chunk lengths -> compile happens here
     elfi.Rejection(m["d"], batch_size=batch_size, seed=0).sample(
@@ -147,9 +236,13 @@ def main():
     t0 = time.perf_counter()
     res = rej.sample(n_samples, n_sim=n_sim, bar=False)
     wall = time.perf_counter() - t0
+    ma2_t1 = float(np.mean(res.samples["t1"]))
+    ma2_t2 = float(np.mean(res.samples["t2"]))
+    ma2_acc = {"ok": bool(abs(ma2_t1 - 0.6) < 0.05
+                          and abs(ma2_t2 - 0.2) < 0.05),
+               "generating_params": [0.6, 0.2], "tolerance": 0.05}
 
     # variant with the fused Pallas sim+summaries+distance kernel
-    mp = ma2_pallas.get_model(seed_obs=4)
     elfi.Rejection(mp["d"], batch_size=batch_size, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
     t1 = time.perf_counter()
@@ -157,6 +250,9 @@ def main():
         n_samples, n_sim=n_sim, bar=False)
     wall_pallas = time.perf_counter() - t1
 
+    accuracy = {"ma2_rejection": ma2_acc, "ricker_bolfi": bolfi_acc,
+                "gauss2d_smc": smc_acc, "ma2_bsl": bsl_acc,
+                "gnk_romc": romc_acc}
     sims_per_s = n_sim / wall
     result = {
         "metric": "MA2 rejection-ABC simulations/sec/chip",
@@ -164,6 +260,8 @@ def main():
         "unit": "sims/s",
         "vs_baseline": round(sims_per_s / BASELINE_SIMS_PER_S, 2),
         "detail": {
+            "accuracy_ok": bool(all(a["ok"] for a in accuracy.values())),
+            "accuracy": accuracy,
             "pallas_kernel_sims_per_s": round(n_sim / wall_pallas, 1),
             "bolfi_ricker_total_s": bolfi_s,
             "bolfi_ricker_posterior_means": bolfi_means,
@@ -172,12 +270,14 @@ def main():
             "smc_gauss2d_posterior_means": smc_means,
             "bsl_ma2_warton_1000iter_total_s": bsl_s,
             "bsl_ma2_posterior_means": bsl_means,
+            "romc_gnk_total_s": romc_s,
+            "romc_gnk_posterior_means": romc_means,
             "n_sim": n_sim,
             "wall_s": round(wall, 3),
             "batch_size": batch_size,
             "n_samples": n_samples,
-            "posterior_mean_t1": float(np.mean(res.samples["t1"])),
-            "posterior_mean_t2": float(np.mean(res.samples["t2"])),
+            "posterior_mean_t1": ma2_t1,
+            "posterior_mean_t2": ma2_t2,
             "threshold": float(np.ravel(res.threshold)[-1]),
             "device": str(jax.devices()[0]),
         },

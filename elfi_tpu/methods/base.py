@@ -82,14 +82,28 @@ class ParameterInference:
 
     # -- the loop ---------------------------------------------------------------
     def infer(self, *args, vis=None, bar=True, **kwargs):
+        """Run the inference loop.
+
+        ``vis`` — live in-run visualization (reference
+        ``parameter_inference.py:205-246``): ``True`` or a dict of plot
+        options; after every consumed batch the method's ``plot_state``
+        redraws in-place (in notebooks via ``IPython.display``).
+        """
         self.bar = bar
+        vis_opt = dict(interactive=True, **(vis if isinstance(vis, dict)
+                                            else {})) if vis else None
         self.set_objective(*args, **kwargs)
         pb = _ProgressBar() if bar else None
         while not self.finished:
             self.iterate()
+            if vis_opt:
+                self.plot_state(**vis_opt)
             if pb:
                 pb.update(self.state["n_batches"], self._objective_n_batches)
         self.batches.cancel_pending()
+        if vis_opt:
+            self.plot_state(close=True, **{k: v for k, v in vis_opt.items()
+                                           if k != "interactive"})
         if pb:
             pb.finish()
         return self.extract_result()

@@ -46,7 +46,19 @@ def _pad_cap(n):
 
 
 def rbf_bias_kernel(A, B, params):
-    """Traceable RBF+bias cross-covariance matrix k(A, B), (n, m)."""
+    """Traceable RBF+bias cross-covariance matrix k(A, B), (n, m).
+
+    ``params['scales']`` (optional, NOT optimized) rescales each input
+    dimension before the isotropic distance — GPRegression sets it to
+    1/bounds-width per dim, which turns the kernel into ARD-by-bounds.
+    An isotropic RBF over raw coordinates is the reference GPy default,
+    but it fits terribly when parameter ranges differ by 10x+ (e.g.
+    Ricker's t2 in (0.05, 0.8) vs t3 in (4, 16)); bounds scaling is what
+    makes the Ricker BOLFI posterior stable across seeds."""
+    scales = params.get("scales") if isinstance(params, dict) else None
+    if scales is not None:
+        A = A * scales
+        B = B * scales
     r2 = (jnp.sum(A ** 2, 1)[:, None] + jnp.sum(B ** 2, 1)[None, :]
           - 2.0 * A @ B.T)
     return (params["sigma2"] * jnp.exp(-0.5 * r2 / (params["ell"] ** 2))
@@ -104,8 +116,11 @@ class GPFns:
 
         names = self.param_names
 
-        def neg_log_posterior(log_params, X, y, mask, prior_shapes):
+        def neg_log_posterior(log_params, X, y, mask, prior_shapes,
+                              const_params=None):
             params = {k: jnp.exp(v) for k, v in zip(names, log_params)}
+            if const_params:
+                params.update(const_params)
             K = kernel_mats(X, mask, params)
             L = jnp.linalg.cholesky(K)
             ym = y * mask
@@ -169,7 +184,7 @@ class GPFns:
             return mu[0] - jnp.sqrt(beta * var[0])
 
         def optimize_restarts_core(starts, X, y, mask, prior_shapes, lr,
-                                   steps=250):
+                                   steps=250, const_params=None):
             """All hyperparameter restarts as one vmapped Adam descent;
             plain traceable so it can be embedded in fused BO loops."""
             from .utils import adam_minimize
@@ -179,7 +194,8 @@ class GPFns:
 
             def one(u0):
                 return adam_minimize(
-                    lambda u: neg_log_posterior(u, X, y, mask, prior_shapes),
+                    lambda u: neg_log_posterior(u, X, y, mask, prior_shapes,
+                                                const_params),
                     u0, steps, lr, lo, jnp.full(dim, 12.0))
 
             us, fs = jax.vmap(one)(starts)
@@ -321,7 +337,8 @@ class GPRegression:
     def __str__(self):
         if self.params is None:
             return "GPRegression(unfitted)"
-        p = {k: round(float(v), 5) for k, v in self.params.items()}
+        p = {k: round(float(v), 5) for k, v in self.params.items()
+             if np.ndim(v) == 0}
         return f"GPRegression(n={self.n_evidence}, {p})"
 
     __repr__ = __str__
@@ -339,15 +356,19 @@ class GPRegression:
                 [float(self._kernel_priors.get(n, 0.0))
                  for n in self._kernel.param_names] + [0.0])
             return
-        bmin = min(b[0] for b in self.bounds)
-        bmax = max(b[1] for b in self.bounds)
-        length_scale = (bmax - bmin) / 3.0
+        # bounds-scaled distances: each dim is normalised by its bounds
+        # width, so the isotropic ell lives in unit-cube units and its
+        # heuristic init is 1/3 regardless of raw parameter ranges
+        widths = np.array([hi - lo for lo, hi in self.bounds], np.float32)
+        scales = 1.0 / np.maximum(widths, 1e-12)
+        length_scale = 1.0 / 3.0
         kernel_var = (np.max(np.abs(y)) / 3.0) ** 2
         bias_var = kernel_var / 4.0
         self.params = dict(sigma2=float(max(kernel_var, 1e-6)),
                            ell=float(length_scale),
                            bias=float(max(bias_var, 1e-6)),
-                           noise=float(noise_var))
+                           noise=float(noise_var),
+                           scales=scales)
         # Gamma shapes for from_EV(m, m) = shape m, scale 1 (no prior on
         # noise, as in GPy's default GPRegression)
         self._prior_shapes = np.array([kernel_var, length_scale, bias_var,
@@ -356,6 +377,13 @@ class GPRegression:
     def _log_param_vector(self):
         return np.log(np.asarray([self.params[k]
                                   for k in self.fns.param_names]))
+
+    def _const_params(self):
+        """Non-optimized kernel constants carried in the params dict
+        (e.g. the bounds scales)."""
+        return {k: jnp.asarray(v, jnp.float32)
+                for k, v in (self.params or {}).items()
+                if k not in self.fns.param_names}
 
     def update(self, x, y, optimize=False):
         """Append evidence; refactorise the posterior (reference
@@ -410,9 +438,11 @@ class GPRegression:
         mask = mask.astype(jnp.float32)
         shapes = jnp.asarray(self._prior_shapes, jnp.float32)
 
+        const = self._const_params()
+
         def obj(u):
             val, grad = self.fns.neg_log_posterior_grad(
-                jnp.asarray(u, jnp.float32), Xp, yp, mask, shapes)
+                jnp.asarray(u, jnp.float32), Xp, yp, mask, shapes, const)
             val = float(val)
             grad = np.asarray(grad, np.float64)
             if not np.isfinite(val):
@@ -436,7 +466,8 @@ class GPRegression:
                     best, best_val = r.x, r.fun
             except Exception:
                 continue
-        self.params = dict(zip(self.fns.param_names, np.exp(best).tolist()))
+        self.params.update(zip(self.fns.param_names,
+                               np.exp(best).tolist()))
         self._refactor()
 
     def _optimize_adam(self):
@@ -449,10 +480,11 @@ class GPRegression:
         best, _ = self.fns.optimize_restarts(
             jnp.asarray(starts, jnp.float32), Xp.astype(jnp.float32),
             yp.astype(jnp.float32), mask.astype(jnp.float32),
-            jnp.asarray(self._prior_shapes, jnp.float32), jnp.float32(0.1))
+            jnp.asarray(self._prior_shapes, jnp.float32), jnp.float32(0.1),
+            const_params=self._const_params())
         vals = np.exp(np.asarray(best, np.float64))
         if np.all(np.isfinite(vals)):
-            self.params = dict(zip(self.fns.param_names, vals.tolist()))
+            self.params.update(zip(self.fns.param_names, vals.tolist()))
         self._refactor()
 
     # -- prediction -------------------------------------------------------------------

@@ -179,9 +179,18 @@ class BayesianOptimization(ParameterInference):
         return current >= self.n_initial_evidence and current >= next_update
 
     def plot_state(self, **options):
+        gp = self.target_model
+        if gp.input_dim == 2 and gp.n_evidence > 0:
+            # live view: GP-mean contour + acquired points, newest in red
+            # (reference ``bolfi.py:318-345`` + ``interactive.py:79-120``)
+            from ..visualization import draw_contour
+            return draw_contour(
+                lambda g: gp.predict(g)[0].ravel(), gp.bounds,
+                parameter_names=gp.parameter_names,
+                title="GP posterior mean", points=np.asarray(gp.X),
+                **options)
         from ..visualization import plot_gp
-        return plot_gp(self.target_model,
-                       self.target_model.parameter_names)
+        return plot_gp(gp, gp.parameter_names)
 
     def plot_discrepancy(self, axes=None, **kwargs):
         from ..visualization import plot_discrepancy
@@ -201,7 +210,8 @@ class BOLFI(BayesianOptimization):
     """Bayesian Optimization for Likelihood-Free Inference
     (Gutmann & Corander 2016; reference ``bolfi.py:400-598``)."""
 
-    def fit(self, n_evidence, threshold=None, bar=True, fused=None):
+    def fit(self, n_evidence, threshold=None, bar=True, fused=None,
+            vis=None):
         """Fit the GP surrogate to the discrepancy, then extract the
         posterior (reference ``bolfi.py:417-440``).
 
@@ -216,11 +226,13 @@ class BOLFI(BayesianOptimization):
         if n_evidence is None:
             raise ValueError("n_evidence must be specified")
         if fused is None:
-            fused = self._fused_eligible()
+            fused = self._fused_eligible() and vis is None
         if fused:
             self._fused_fit(n_evidence)
         else:
-            self.infer(n_evidence, bar=bar)
+            # vis implies the host-driven loop (live plots need per-batch
+            # host control, reference ``parameter_inference.py:205-246``)
+            self.infer(n_evidence, bar=bar, vis=vis)
         return self.extract_posterior(threshold)
 
     def _fused_eligible(self):
@@ -290,9 +302,13 @@ class BOLFI(BayesianOptimization):
         n_inits_acq = acq.n_inits
         target_name = self.target_name
 
+        # bounds-scaled kernel distances, same as GPRegression: ell lives
+        # in unit-cube units (heuristic 1/3), scales = 1/width per dim
+        gp_scales = jnp.asarray(1.0 / np.maximum(bounds[:, 1] - bounds[:, 0],
+                                                 1e-12), jnp.float32)
+
         def heuristic_params(y):
-            bmin, bmax = jnp.min(lo), jnp.max(hi)
-            ls = (bmax - bmin) / 3.0
+            ls = jnp.float32(1.0 / 3.0)
             kv = (jnp.max(jnp.abs(y)) / 3.0) ** 2 + 1e-6
             bv = kv / 4.0 + 1e-6
             nv = jnp.maximum(jnp.max(y) ** 2 / 100.0, 1e-6)
@@ -303,7 +319,7 @@ class BOLFI(BayesianOptimization):
         def u_to_params(u):
             v = jnp.exp(u)
             return {"sigma2": v[0], "ell": v[1], "bias": v[2],
-                    "noise": v[3]}
+                    "noise": v[3], "scales": gp_scales}
 
         master = jax.random.key(self.seed)
 
@@ -321,7 +337,7 @@ class BOLFI(BayesianOptimization):
                 jax.random.fold_in(rkey, 0), (n_restarts, 4))
             u0, _ = optimize_restarts_core(
                 starts0.at[0].set(u0), Xp, yp, mask0, shapes,
-                jnp.float32(0.1))
+                jnp.float32(0.1), const_params={"scales": gp_scales})
 
             def step(carry, inp):
                 Xc, yc, u, n = carry
@@ -364,7 +380,8 @@ class BOLFI(BayesianOptimization):
                         (n_restarts, 4))
                     u_new, _ = optimize_restarts_core(
                         st.at[0].set(u), Xc, yc, mask, shapes,
-                        jnp.float32(0.1))
+                        jnp.float32(0.1),
+                        const_params={"scales": gp_scales})
                     return u_new
 
                 u = jax.lax.cond(do_refit, do_opt, lambda uu: uu, u)
@@ -385,12 +402,11 @@ class BOLFI(BayesianOptimization):
         vals = np.exp(np.asarray(uf, np.float64))
         gp.params = dict(zip(("sigma2", "ell", "bias", "noise"),
                              vals.tolist()))
+        gp.params["scales"] = np.asarray(gp_scales)
         y0 = gp._y[:n_init]
-        bmin = min(b[0] for b in gp.bounds)
-        bmax = max(b[1] for b in gp.bounds)
         gp._prior_shapes = np.array([
             (np.max(np.abs(y0)) / 3.0) ** 2 + 1e-6,
-            (bmax - bmin) / 3.0,
+            1.0 / 3.0,
             (np.max(np.abs(y0)) / 3.0) ** 2 / 4.0 + 1e-6, 0.0])
         gp._refactor()
         self.state["n_evidence"] = n_total

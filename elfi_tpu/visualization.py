@@ -91,21 +91,57 @@ def plot_traces(result, selector=None, axes=None, **kwargs):
     return axes
 
 
+def _prepare_axes(options):
+    """Axes from options (or current); cleared + limited for live mode
+    (reference ``interactive.py:48-76``)."""
+    plt = _mpl()
+    axes = options.get("axes") or plt.gca()
+    if options.get("interactive"):
+        axes.clear()
+    if options.get("xlim"):
+        axes.set_xlim(options["xlim"])
+    if options.get("ylim"):
+        axes.set_ylim(options["ylim"])
+    return axes
+
+
+def _update_interactive(displays, options):
+    """Redraw in-notebook: clear the cell output and re-display the figure
+    (reference ``interactive.py:55-61``).  No-op outside IPython."""
+    if not options.get("interactive"):
+        return
+    plt = _mpl()
+    try:
+        from IPython import display
+    except ImportError:
+        plt.pause(1e-6)   # plain-matplotlib fallback for live scripts
+        return
+    displays = list(displays or [])
+    display.clear_output(wait=True)
+    displays.insert(0, plt.gcf())
+    display.display(*displays)
+
+
 def plot_sample(samples, nodes=None, n=-1, displays=None, **options):
-    """Scatter of (possibly top-n) samples (reference
+    """Scatter of (possibly top-n) samples; with ``interactive=True`` the
+    plot live-updates in notebooks during inference (reference
     ``visualization/interactive.py:11-76``)."""
     plt = _mpl()
+    axes = _prepare_axes(options)
     nodes = nodes or sorted(samples.keys())[:2]
     if isinstance(nodes, str):
         nodes = [nodes]
     if len(nodes) == 1:
-        plt.hist(np.asarray(samples[nodes[0]])[:n])
-        plt.xlabel(nodes[0])
+        axes.hist(np.asarray(samples[nodes[0]])[:n])
+        axes.set_xlabel(nodes[0])
     else:
-        plt.scatter(np.asarray(samples[nodes[0]])[:n],
-                    np.asarray(samples[nodes[1]])[:n], s=2)
-        plt.xlabel(nodes[0])
-        plt.ylabel(nodes[1])
+        axes.scatter(np.asarray(samples[nodes[0]])[:n],
+                     np.asarray(samples[nodes[1]])[:n], s=2)
+        axes.set_xlabel(nodes[0])
+        axes.set_ylabel(nodes[1])
+    _update_interactive(displays, options)
+    if options.get("close"):
+        plt.close()
 
 
 def plot_discrepancy(gp, parameter_names, axes=None, **kwargs):
@@ -259,12 +295,13 @@ def plot_predicted_summaries(model=None, summary_names=None, n_samples=100,
 
 
 def draw_contour(fn, bounds, parameter_names=None, title=None, points=None,
-                 axes=None, resol=50, **options):
-    """Contour plot of a 2-D function over bounds (reference
-    ``visualization/interactive.py:79-120``)."""
+                 axes=None, resol=50, displays=None, **options):
+    """Contour plot of a 2-D function over bounds; supports the same
+    ``interactive``/``close`` live-update options as :func:`plot_sample`
+    (reference ``visualization/interactive.py:79-120``)."""
     plt = _mpl()
     if axes is None:
-        _, axes = plt.subplots()
+        axes = _prepare_axes(options)
     x = np.linspace(*bounds[0], resol)
     y = np.linspace(*bounds[1], resol)
     X, Y = np.meshgrid(x, y)
@@ -273,12 +310,17 @@ def draw_contour(fn, bounds, parameter_names=None, title=None, points=None,
     axes.contourf(X, Y, Z, 30)
     if points is not None:
         points = np.asarray(points)
-        axes.scatter(points[:, 0], points[:, 1], c="r", s=6)
+        axes.scatter(points[:-1, 0], points[:-1, 1], c="k", s=6)
+        # highlight the newest acquisition in live mode
+        axes.scatter(points[-1:, 0], points[-1:, 1], c="r", s=12)
     if title:
         axes.set_title(title)
     if parameter_names is not None:
         axes.set_xlabel(parameter_names[0])
         axes.set_ylabel(parameter_names[1])
+    _update_interactive(displays, options)
+    if options.get("close"):
+        plt.close()
     return axes
 
 

@@ -77,3 +77,39 @@ def test_visualization_entry_points(ma2, tmp_path):
     elfi.draw(ma2)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_live_vis_plumbing(ma2):
+    """vis= drives plot_state every consumed batch (reference
+    parameter_inference.py:205-246 + interactive.py); headless-safe."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import jax.numpy as jnp
+
+    import elfi_tpu as elfi
+
+    calls = []
+    rej = elfi.Rejection(ma2["d"], batch_size=2000, seed=0)
+    orig = rej.plot_state
+
+    def counting(**kw):
+        calls.append(kw)
+        return orig(**kw)
+
+    rej.plot_state = counting
+    res = rej.sample(50, n_sim=8000, bar=False,
+                     vis=dict(xlim=(-2, 2), ylim=(-1, 1)))
+    assert res.n_samples == 50
+    n_batches = 8000 // 2000
+    assert len(calls) == n_batches + 1          # per batch + final close
+    assert calls[0]["interactive"] and calls[0]["xlim"] == (-2, 2)
+    assert calls[-1]["close"] and "interactive" not in calls[-1]
+
+    # BOLFI: vis falls back to the host loop and draws GP contours
+    m = ma2.copy()
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d_vis")
+    b = elfi.BOLFI(m["log_d_vis"], batch_size=1, initial_evidence=10,
+                   update_interval=5, seed=1,
+                   bounds={"t1": (-2, 2), "t2": (-1, 1)})
+    b.fit(n_evidence=12, bar=False, vis=True)
+    assert b.target_model.n_evidence == 12
