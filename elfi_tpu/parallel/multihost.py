@@ -4,10 +4,23 @@ The reference scales beyond one machine with ipyparallel/dask task farms
 (``elfi/clients/{ipyparallel,dask}.py``) — pickled graphs over TCP/ZeroMQ.
 The TPU-native equivalent (SURVEY.md §2.2/§5): every host in a
 ``jax.distributed`` job runs the SAME inference loop, batch indices are
-assigned round-robin by ``process_index``, and each host's results are
-exchanged with a ``process_allgather`` over DCN.  Because batches are
-pure functions of (seed, batch_index), this is deterministic and needs no
+assigned round-robin by ``process_index``, and the owner's result is
+broadcast to the other hosts over DCN.  Because batches are pure
+functions of (seed, batch_index), this is deterministic and needs no
 task RPC: the "controller" is the shared counter-based RNG schedule.
+
+Per-batch DCN traffic is O(batch) — the owner's arrays ride a psum-based
+one-to-all broadcast (``multihost_utils.broadcast_one_to_all``), NOT an
+O(num_hosts x batch) allgather of zero placeholders.
+
+Host-executed graphs (external binaries, numpy simulators — the
+expensive case the reference's ipyparallel client exists for) FARM the
+same way: host ``p`` runs only its own batch indices through the host
+executor (optionally its local process pool) and broadcasts the outputs.
+The first batch of a given program is computed redundantly on every host
+to discover output shapes (host ops have no ``eval_shape``); subsequent
+batches ship only the owner's data.  Set ``farm_host_ops=False`` for the
+old compute-everywhere behavior (zero DCN for host data).
 
 Single-process jobs degrade to the native backend, so the same code runs
 anywhere.  Multi-host execution requires launching one process per host
@@ -26,51 +39,104 @@ from .backends import BackendBase
 __all__ = ["MultihostBackend"]
 
 
+def _transport_dtype(dtype):
+    """psum-friendly dtype for broadcasting (small ints/bools widen)."""
+    dtype = np.dtype(dtype)
+    if dtype.kind == "b":
+        return np.dtype(np.int32)
+    if dtype.kind in "iu" and dtype.itemsize < 4:
+        return np.dtype(np.int32)
+    if dtype.kind == "f" and dtype.itemsize < 4:
+        return np.dtype(np.float32)
+    return dtype
+
+
 class MultihostBackend(BackendBase):
     """SPMD task farm: host ``p`` computes batch indices with
-    ``index % num_processes == p``; results are all-gathered over DCN."""
+    ``index % num_processes == p``; the owner broadcasts each result."""
 
     num_cores = 2
 
-    def __init__(self):
+    def __init__(self, farm_host_ops=True):
         super().__init__()
         self.process_index = jax.process_index()
         self.num_processes = jax.process_count()
         self.num_cores = max(2, self.num_processes)
+        self.farm_host_ops = farm_host_ops
+        # (model revision, outputs, overrides, batch_size)
+        #   -> {name: (shape, dtype)} for host-op farm broadcasts
+        self._host_shapes = {}
+
+    def _host_key(self, program, overrides, batch_size):
+        return (program.model.revision, program.outputs,
+                tuple(sorted(overrides)), batch_size)
 
     def _launch(self, program, seed, batch_index, overrides, batch_size):
         owner = batch_index % self.num_processes
-        if program.host and self.num_processes > 1:
-            # host graphs (external binaries, numpy sims) have no
-            # eval_shape, so every host computes the batch redundantly --
-            # deterministic (pure function of seed/batch_index) and gather
-            # free; per-host parallelism for these comes from the
-            # multiprocessing backend within each host
-            owner = self.process_index
+        if self.num_processes == 1:
+            result = program.run(jax.random.key(seed), batch_index,
+                                 overrides, batch_size)
+            return ("local", result)
+        if program.host:
+            key = self._host_key(program, overrides, batch_size)
+            if not self.farm_host_ops or key not in self._host_shapes:
+                # compute-everywhere round: deterministic per (seed,
+                # batch_index), so every host gets identical outputs; also
+                # records the output shapes that later farm rounds need
+                result = program.run(jax.random.key(seed), batch_index,
+                                     overrides, batch_size)
+                self._host_shapes[key] = {
+                    k: (np.asarray(v).shape, np.asarray(v).dtype)
+                    for k, v in result.items()}
+                return ("local", result)
+            result = None
+            if owner == self.process_index:
+                result = program.run(jax.random.key(seed), batch_index,
+                                     overrides, batch_size)
+            return ("bcast_host", owner, result, key)
+        result = None
         if owner == self.process_index:
             result = program.run(jax.random.key(seed), batch_index,
                                  overrides, batch_size)
-        else:
-            result = None
-        return (owner, result, program, overrides, batch_size)
+        return ("bcast", owner, result, program, overrides, batch_size)
+
+    def _broadcast(self, owner, result):
+        """One-to-all broadcast of the owner's {name: array} dict.
+
+        Collective: every host calls this for every batch in submission
+        order (the in-order BatchHandler contract guarantees it)."""
+        from jax.experimental import multihost_utils
+        out = multihost_utils.broadcast_one_to_all(
+            result, is_source=(owner == self.process_index))
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def _materialize(self, handle):
         if isinstance(handle, tuple) and handle and handle[0] == "thunk":
             _, fn, args, kwargs = handle
             return fn(*args, **kwargs)
-        owner, result, program, overrides, batch_size = handle
-        if self.num_processes == 1 or (program.host and result is not None):
-            return jax.block_until_ready(result)
-        # SPMD contract: every host materializes every batch in the same
-        # order, so this allgather is collective.  Non-owners contribute
-        # zero placeholders shaped by a local eval_shape of the program.
-        from jax.experimental import multihost_utils
-        import jax.numpy as jnp
+        kind = handle[0]
+        if kind == "local":
+            return jax.block_until_ready(handle[1])
+        if kind == "bcast_host":
+            _, owner, result, key = handle
+            shapes = self._host_shapes[key]
+            tdt = {k: _transport_dtype(dt) for k, (_, dt) in shapes.items()}
+            if result is None:
+                payload = {k: np.zeros(shp, tdt[k])
+                           for k, (shp, _) in shapes.items()}
+            else:
+                payload = {k: np.asarray(result[k], tdt[k])
+                           for k in shapes}
+            out = self._broadcast(owner, payload)
+            return {k: out[k].astype(dt)
+                    for k, (_, dt) in shapes.items()}
+        # device program
+        _, owner, result, program, overrides, batch_size = handle
         if result is None:
+            import jax.numpy as jnp
             fn = program.traceable(batch_size)
             shapes = jax.eval_shape(fn, jax.eval_shape(jax.random.key, 0),
                                     jnp.uint32(0), overrides)
             result = {k: np.zeros(v.shape, v.dtype)
                       for k, v in shapes.items()}
-        gathered = multihost_utils.process_allgather(result)
-        return {k: np.asarray(v)[owner] for k, v in gathered.items()}
+        return self._broadcast(owner, result)

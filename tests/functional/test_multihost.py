@@ -34,6 +34,26 @@ m = ma2.get_model(seed_obs=4)
 res = elfi.Rejection(m["d"], batch_size=200, seed=17).sample(
     20, n_sim=1000, bar=False)
 np.save(sys.argv[3], res.samples_array)
+
+# host-op FARM mode: each host must simulate only its own batch indices
+# (plus the shared shape-discovery batch); outputs broadcast owner->all
+CALLS = {"n": 0}
+
+def hostsim(t, batch_size=1, random_state=None, **kw):
+    CALLS["n"] += 1
+    return np.atleast_1d(t)[:, None] + random_state.normal(
+        size=(batch_size, 3))
+
+mh = elfi.Model(name="farm")
+p = elfi.Prior("uniform", 0, 1, model=mh, name="p")
+sim = elfi.Simulator(hostsim, p, observed=0.5 * np.ones(3), host=True,
+                     model=mh, name="sim")
+d = elfi.Distance("euclidean", sim, model=mh, name="d")
+res2 = elfi.Rejection(mh["d"], batch_size=50, seed=23).sample(
+    10, n_sim=400, bar=False)   # 8 batches
+# 1 discovery batch on every host + 7 remaining farmed round-robin
+assert 1 + 3 <= CALLS["n"] <= 1 + 4, CALLS["n"]
+np.save(sys.argv[3].replace(".npy", "_farm.npy"), res2.samples_array)
 print("WORKER_OK")
 """
 
@@ -68,6 +88,9 @@ def test_two_process_multihost(tmp_path):
 
     a, b = np.load(outs[0]), np.load(outs[1])
     np.testing.assert_array_equal(a, b)  # both hosts see the same result
+    fa = np.load(outs[0].replace(".npy", "_farm.npy"))
+    fb = np.load(outs[1].replace(".npy", "_farm.npy"))
+    np.testing.assert_array_equal(fa, fb)  # farmed host-op results agree
 
     # equal to the single-process native run
     import elfi_tpu as elfi
