@@ -242,18 +242,25 @@ def main():
                           and abs(ma2_t2 - 0.2) < 0.05),
                "generating_params": [0.6, 0.2], "tolerance": 0.05}
 
-    # variant with the fused Pallas sim+summaries+distance kernel
+    # variant with the fused Pallas sim+summaries+distance kernel (its own
+    # RNG streams; the posterior must still match)
     elfi.Rejection(mp["d"], batch_size=batch_size, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
     t1 = time.perf_counter()
-    elfi.Rejection(mp["d"], batch_size=batch_size, seed=1).sample(
+    res_p = elfi.Rejection(mp["d"], batch_size=batch_size, seed=1).sample(
         n_samples, n_sim=n_sim, bar=False)
     wall_pallas = time.perf_counter() - t1
+    p_t1 = float(np.mean(res_p.samples["t1"]))
+    p_t2 = float(np.mean(res_p.samples["t2"]))
+    pallas_acc = {"ok": bool(abs(p_t1 - 0.6) < 0.05
+                             and abs(p_t2 - 0.2) < 0.05),
+                  "generating_params": [0.6, 0.2], "tolerance": 0.05}
 
-    accuracy = {"ma2_rejection": ma2_acc, "ricker_bolfi": bolfi_acc,
-                "gauss2d_smc": smc_acc, "ma2_bsl": bsl_acc,
-                "gnk_romc": romc_acc}
-    sims_per_s = n_sim / wall
+    accuracy = {"ma2_rejection": ma2_acc, "ma2_rejection_pallas": pallas_acc,
+                "ricker_bolfi": bolfi_acc, "gauss2d_smc": smc_acc,
+                "ma2_bsl": bsl_acc, "gnk_romc": romc_acc}
+    # headline = the faster of the two rejection paths (both accuracy-gated)
+    sims_per_s = max(n_sim / wall, n_sim / wall_pallas)
     result = {
         "metric": "MA2 rejection-ABC simulations/sec/chip",
         "value": round(sims_per_s, 1),
@@ -262,7 +269,9 @@ def main():
         "detail": {
             "accuracy_ok": bool(all(a["ok"] for a in accuracy.values())),
             "accuracy": accuracy,
+            "xla_path_sims_per_s": round(n_sim / wall, 1),
             "pallas_kernel_sims_per_s": round(n_sim / wall_pallas, 1),
+            "pallas_posterior_means": [round(p_t1, 4), round(p_t2, 4)],
             "bolfi_ricker_total_s": bolfi_s,
             "bolfi_ricker_posterior_means": bolfi_means,
             "bolfi_ricker_target_s": 60.0,
