@@ -6,8 +6,10 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/functional/test_multiprocessing.py \
-	    --ignore=tests/functional/test_inference.py
+	python -m pytest tests/ -q -m "not slow"
+
+lint:
+	python -m flake8 elfi_tpu tests || echo "flake8 not installed (CI runs it)"
 
 bench:
 	python bench.py

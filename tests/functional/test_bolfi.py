@@ -8,6 +8,8 @@ from elfi_tpu.methods.bo.acquisition import (LCBSC, MaxVar, RandMaxVar,
                                              UniformAcquisition)
 from elfi_tpu.model.extensions import ModelPrior
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 
 @pytest.fixture(scope="module")
 def ma2_log():

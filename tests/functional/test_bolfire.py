@@ -5,6 +5,8 @@ import elfi_tpu as elfi
 from elfi_tpu.methods.classifier import GPClassifier, LogisticRegression
 
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 def test_logistic_regression_classifier():
     rng = np.random.RandomState(0)
     X = np.vstack([rng.normal(1, 1, (200, 2)), rng.normal(-1, 1, (200, 2))])

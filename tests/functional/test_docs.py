@@ -8,6 +8,10 @@ import numpy as np
 import elfi_tpu as elfi
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 def _doc_code_blocks(path):
     text = open(path).read()
     return re.findall(r"```python\n(.*?)```", text, re.DOTALL)

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import elfi_tpu as elfi
 from elfi_tpu.models import ma2
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 TRUE = np.array([0.6, 0.2])
 
 

@@ -15,6 +15,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 _WORKER = r"""
 import sys
 import jax

@@ -8,6 +8,8 @@ import pytest
 import elfi_tpu as elfi
 
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 @pytest.fixture(scope="module")
 def mp_client():
     try:

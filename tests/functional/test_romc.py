@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import elfi_tpu as elfi
 
 
+pytestmark = pytest.mark.slow  # excluded from the fast CI gate
+
 def build_gauss_1d(seed_obs=1):
     """theta ~ U(-2.5, 2.5); data ~ N(theta, 1); summary = mean."""
     m = elfi.Model(name="romc_gauss")
