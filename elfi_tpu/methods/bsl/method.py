@@ -163,74 +163,81 @@ class BSL(ModelBased):
     def current_params(self):
         return self.state["params"][self.state["n_samples"]]
 
+    def _chain_repeat_prev(self, n):
+        """Reject: chain row ``n`` repeats row ``n - 1``."""
+        st = self.state
+        st["logprior"][n] = st["logprior"][n - 1]
+        st["params"][n] = st["params"][n - 1]
+        st["logposterior"][n] = st["logposterior"][n - 1]
+
+    def _refresh_gamma(self, n):
+        """Slice-sample the misspecification gamma given the current chain
+        position, and fold its likelihood into row ``n - 1``."""
+        gamma, ll = self.gamma_sampler(self.observed,
+                                       **self.gamma_sampler_state)
+        self.gamma_sampler_state.update(gamma=gamma, loglik=ll)
+        self.state["gamma"][n] = gamma
+        self.state["logposterior"][n - 1] = ll + self.state["logprior"][n - 1]
+
     def _init_round(self):
-        """Propose new params; auto-reject proposals outside the prior
+        """Draw the next MH candidate.  Candidates outside the prior
+        support are rejected on the spot — no simulation round is spent on
+        them, the chain just repeats and the round budget shrinks by one
         (reference ``bsl.py:200-230``)."""
-        while self.state["n_samples"] < len(self.state["params"]):
-            n = self.state["n_samples"]
+        st = self.state
+        while st["n_samples"] < len(st["params"]):
+            n = st["n_samples"]
             if self.is_misspec:
-                gamma, ll = self.gamma_sampler(self.observed,
-                                               **self.gamma_sampler_state)
-                self.gamma_sampler_state["gamma"] = gamma
-                self.gamma_sampler_state["loglik"] = ll
-                self.state["gamma"][n] = gamma
-                self.state["logposterior"][n - 1] = \
-                    ll + self.state["logprior"][n - 1]
-            prop = self._propagate_state()
-            logprior = float(np.asarray(self.prior.logpdf(prop)).ravel()[0])
+                self._refresh_gamma(n)
+            candidate = self._propagate_state()
+            logprior = float(np.asarray(
+                self.prior.logpdf(candidate)).ravel()[0])
             if np.isfinite(logprior):
-                self.state["logprior"][n] = logprior
-                self.state["params"][n] = prop
-                self.state["n_sim_round"] = 0
-                break
-            # instant reject without simulating
-            self.state["logprior"][n] = self.state["logprior"][n - 1]
-            self.state["params"][n] = self.state["params"][n - 1]
-            self.state["logposterior"][n] = self.state["logposterior"][n - 1]
-            self.state["n_samples"] += 1
+                st["logprior"][n] = logprior
+                st["params"][n] = candidate
+                st["n_sim_round"] = 0
+                return
+            self._chain_repeat_prev(n)
+            st["n_samples"] += 1
             self.set_objective(self.objective["round"] - 1)
 
-    def _process_simulated(self):
-        """Estimate the synthetic likelihood and MH accept/reject
-        (reference ``bsl.py:232-285``)."""
+    def _estimate_loglikelihood(self):
+        """Synthetic log-likelihood of the observed summaries under the
+        round's simulated feature matrix (non-finite simulations estimate
+        to -inf, reference ``bsl.py:241-249``)."""
         if not np.all(np.isfinite(self.simulated)):
-            loglikelihood = -np.inf
-        elif self.is_misspec:
-            loglikelihood = float(np.asarray(self.likelihood(
-                self.simulated, self.observed,
-                gamma=self.gamma_sampler_state["gamma"])).ravel()[0])
-        else:
-            loglikelihood = float(np.asarray(self.likelihood(
-                self.simulated, self.observed)).ravel()[0])
+            return -np.inf
+        kwargs = {"gamma": self.gamma_sampler_state["gamma"]} \
+            if self.is_misspec else {}
+        return float(np.asarray(self.likelihood(
+            self.simulated, self.observed, **kwargs)).ravel()[0])
 
-        n = self.state["n_samples"]
+    def _process_simulated(self):
+        """MH accept/reject for the finished round
+        (reference ``bsl.py:232-285``)."""
+        st = self.state
+        n = st["n_samples"]
+        loglikelihood = self._estimate_loglikelihood()
         if not np.isfinite(loglikelihood):
             if n == 0:
                 raise RuntimeError("Estimated likelihood not finite on "
                                    "initialisation round")
             logger.warning("Estimated likelihood not finite")
-        self.state["logposterior"][n] = loglikelihood + \
-            self.state["logprior"][n]
+        st["logposterior"][n] = loglikelihood + st["logprior"][n]
 
-        if n == 0:
-            accept = True
-        else:
-            prob = np.minimum(1.0, self._get_mh_ratio())
-            accept = self.random_state.uniform() < prob
+        accept = n == 0 or (self.random_state.uniform()
+                            < np.minimum(1.0, self._get_mh_ratio()))
         if accept:
             if self.is_misspec:
-                self.gamma_sampler_state["loglik"] = loglikelihood
-                self.gamma_sampler_state["sample_mean"] = \
-                    np.mean(self.simulated, axis=0)
-                self.gamma_sampler_state["sample_cov"] = \
-                    np.cov(self.simulated, rowvar=False)
-            if n >= self.burn_in:
-                self.num_accepted += 1
+                # the gamma sampler conditions on the accepted round's sims
+                self.gamma_sampler_state.update(
+                    loglik=loglikelihood,
+                    sample_mean=np.mean(self.simulated, axis=0),
+                    sample_cov=np.cov(self.simulated, rowvar=False))
+            self.num_accepted += int(n >= self.burn_in)
         else:
-            self.state["logprior"][n] = self.state["logprior"][n - 1]
-            self.state["params"][n] = self.state["params"][n - 1]
-            self.state["logposterior"][n] = self.state["logposterior"][n - 1]
-        self.state["n_samples"] += 1
+            self._chain_repeat_prev(n)
+        st["n_samples"] += 1
 
     def _propagate_state(self):
         """Gaussian random-walk proposal, optionally in logit space

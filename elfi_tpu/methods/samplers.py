@@ -355,6 +355,33 @@ class Rejection(Sampler):
                     n=self.objective["n_samples"], **options)
 
 
+class _RoundSchedule:
+    """Acceptance schedule for a run of SMC rounds.
+
+    Global round ``r`` is driven either by an explicit distance threshold
+    or by a selection quantile that gets RESOLVED into a threshold against
+    round ``r-1``'s population when the round begins.  Continuation
+    (calling ``sample`` again) appends rounds after the existing ones, so
+    global round numbering survives across calls.  AdaptiveThresholdSMC
+    fills its quantile slots between rounds from the density-ratio fit.
+    """
+
+    def __init__(self):
+        self.thresholds = []
+        self.quantiles = []
+
+    @property
+    def n_rounds(self):
+        return len(self.thresholds)
+
+    def extend(self, n, thresholds=None, quantiles=None):
+        for i in range(n):
+            self.thresholds.append(
+                None if thresholds is None else thresholds[i])
+            self.quantiles.append(
+                None if quantiles is None else quantiles[i])
+
+
 def _gm_overrides_fn(parameter_names, batch_size, prior_logpdf):
     """Traceable per-batch proposal builder for fused SMC rounds.
 
@@ -392,7 +419,7 @@ class SMC(Sampler):
         self._populations = []
         self._rejection = None
         self._round_key = None
-        self._quantiles = None
+        self.schedule = _RoundSchedule()
 
     def sample(self, n_samples, thresholds=None, quantiles=None, fused=None,
                bar=True, **kwargs):
@@ -441,9 +468,7 @@ class SMC(Sampler):
         """Round transition for the fused driver; returns False when the
         run is complete (mirrors the unfused ``update`` logic)."""
         if self.state["round"] < self.objective["round"]:
-            self._populations.append(self._extract_population())
-            self.state["round"] += 1
-            self._init_new_round()
+            self._advance_round()
             return True
         return False
 
@@ -494,20 +519,15 @@ class SMC(Sampler):
     def set_objective(self, n_samples, thresholds=None, quantiles=None):
         if thresholds is None and quantiles is None:
             raise ValueError("Either thresholds or quantiles is required")
-        rounds = (len(quantiles) if thresholds is None else len(thresholds)) - 1
+        # continuation: new rounds append after the stored populations
         self.state["round"] = len(self._populations)
-        rounds += self.state["round"]
-        if thresholds is None:
-            thresholds = np.full((rounds + 1), None)
-            self._quantiles = np.concatenate(
-                (np.full((self.state["round"]), None), quantiles))
-        else:
-            thresholds = np.concatenate(
-                (np.full((self.state["round"]), None), thresholds))
+        given = thresholds if thresholds is not None else quantiles
+        self.schedule.extend(len(given), thresholds=thresholds,
+                             quantiles=quantiles)
         self.objective.update(dict(n_samples=n_samples,
                                    n_batches=self.max_parallel_batches,
-                                   round=rounds, thresholds=thresholds))
-        self._init_new_round()
+                                   round=self.schedule.n_rounds - 1))
+        self._begin_round()
         self._update_objective()
 
     def extract_result(self):
@@ -523,11 +543,14 @@ class SMC(Sampler):
         self._rejection.update(batch, batch_index)
         if self._rejection.finished:
             self.batches.cancel_pending()
-            if self.state["round"] < self.objective["round"]:
-                self._populations.append(self._extract_population())
-                self.state["round"] += 1
-                self._init_new_round()
+            self._advance_round()
         self._update_objective()
+
+    def _advance_round(self):
+        if self.state["round"] < self.objective["round"]:
+            self._populations.append(self._extract_population())
+            self.state["round"] += 1
+            self._begin_round()
 
     def prepare_new_batch(self, batch_index):
         if self.state["round"] == 0:
@@ -537,26 +560,38 @@ class SMC(Sampler):
                                     prior_logpdf=self._prior.logpdf, key=key)
         return arr2d_to_batch(np.asarray(params), self.parameter_names)
 
-    def _init_new_round(self):
-        self._set_rejection_round(self.state["round"])
-        if self.state["round"] == 0 and self._quantiles is not None:
+    def _begin_round(self):
+        """Enter round ``state['round']``: build its internal Rejection and
+        give it the round's acceptance rule (resolving a scheduled quantile
+        into a concrete threshold against the previous population)."""
+        r = self.state["round"]
+        self._spawn_round_rejection(r)
+        q = self.schedule.quantiles[r]
+        if r == 0 and q is not None:
+            # no population to take a quantile of yet
             self._rejection.set_objective(self.objective["n_samples"],
-                                          quantile=self._quantiles[0])
-        else:
-            if self._quantiles is not None:
-                self._set_threshold()
-            self._rejection.set_objective(
-                self.objective["n_samples"],
-                threshold=self.current_population_threshold)
+                                          quantile=q)
+            return
+        if q is not None:
+            self.schedule.thresholds[r] = self._quantile_threshold(r, q)
+        self._rejection.set_objective(
+            self.objective["n_samples"],
+            threshold=self.current_population_threshold)
 
-    def _set_rejection_round(self, round):
-        seed = self.seed if round == 0 else get_sub_seed(self.seed, round)
+    def _quantile_threshold(self, r, q):
+        """Threshold for round ``r`` = weighted q-quantile of round
+        ``r-1``'s accepted discrepancies."""
+        prev = self._populations[r - 1]
+        return weighted_sample_quantile(x=prev.discrepancies, alpha=q,
+                                        weights=prev.weights)
+
+    def _spawn_round_rejection(self, r):
+        # Batch indices keep increasing GLOBALLY across rounds (fresh
+        # simulator noise every round) because this SMC instance owns the
+        # BatchHandler; the per-round Rejection only consumes batches, and
+        # its sub-seed scopes the round bookkeeping.
+        seed = self.seed if r == 0 else get_sub_seed(self.seed, r)
         self._round_key = jax.random.fold_in(jax.random.key(seed), 0x9E3779B9)
-        # The SMC instance owns the BatchHandler and keeps submitting with a
-        # GLOBALLY increasing batch index (so simulator noise is fresh every
-        # round); the per-round Rejection only consumes the batches and its
-        # seed only scopes the round bookkeeping (reference
-        # ``samplers.py:474-487``).
         self._rejection = Rejection(
             self.model, discrepancy_name=self.discrepancy_name,
             output_names=self.output_names, batch_size=self.batch_size,
@@ -565,43 +600,42 @@ class SMC(Sampler):
     def _extract_population(self):
         sample = self._rejection.extract_result()
         sample.method_name = "Rejection within SMC-ABC"
-        means, w, cov = self._compute_weights_means_and_cov(sample)
-        sample.means = means
+        theta, w, cov = self._weigh_population(sample)
+        sample.means = theta
         sample.weights = w
         sample.meta["cov"] = cov
         return sample
 
-    def _compute_weights_means_and_cov(self, pop):
-        params = np.column_stack([pop.outputs[p]
-                                  for p in self.parameter_names])
-        if self._populations:
-            q_logpdf = np.asarray(GMDistribution.logpdf(params,
-                                                        *self._gm_params))
-            p_logpdf = np.asarray(self._prior.logpdf(params))
-            w = np.exp(p_logpdf - q_logpdf)
-        else:
+    def _weigh_population(self, pop):
+        """Importance weights, parameter matrix and perturbation covariance
+        for an accepted population.
+
+        Draws came from the Gaussian-mixture proposal q (round 0: the
+        prior itself), so ``w = prior(theta) / q(theta)``; the next round
+        perturbs with the component-wise kernel ``cov = 2 Var_w(theta)``
+        (Beaumont et al. 2009)."""
+        from .utils import batch_to_arr2d
+        theta = batch_to_arr2d(pop.outputs, self.parameter_names)
+        if not self._populations:
             w = np.ones(pop.n_samples)
-        if np.count_nonzero(w) == 0:
+        else:
+            log_w = (np.asarray(self._prior.logpdf(theta))
+                     - np.asarray(GMDistribution.logpdf(theta,
+                                                        *self._gm_params)))
+            w = np.exp(log_w)
+        if not np.any(w > 0):
             raise RuntimeError(
-                "All sample weights are zero. If you are using a prior with "
-                "bounded support this may be caused by a too small sample "
-                "size.")
-        cov = 2 * np.diag(weighted_var(params, w))
+                "Every importance weight is zero — with a bounded-support "
+                "prior this usually means the population is too small.")
+        cov = 2.0 * np.diag(weighted_var(theta, w))
         if not np.all(np.isfinite(cov)):
-            cov = np.diag(np.ones(params.shape[1]))
-        return params.copy(), w, cov
+            cov = np.eye(theta.shape[1])
+        return theta.copy(), w, cov
 
     def _update_objective(self):
-        n_batches = sum(pop.meta["n_batches"] for pop in self._populations)
-        self.objective["n_batches"] = n_batches + \
+        done = sum(pop.meta["n_batches"] for pop in self._populations)
+        self.objective["n_batches"] = done + \
             self._rejection.objective["n_batches"]
-
-    def _set_threshold(self):
-        prev = self._populations[self.state["round"] - 1]
-        threshold = weighted_sample_quantile(
-            x=prev.discrepancies, alpha=self._quantiles[self.state["round"]],
-            weights=prev.weights)
-        self.objective["thresholds"][self.state["round"]] = threshold
 
     @property
     def _gm_params(self):
@@ -610,7 +644,7 @@ class SMC(Sampler):
 
     @property
     def current_population_threshold(self):
-        return self.objective["thresholds"][self.state["round"]]
+        return self.schedule.thresholds[self.state["round"]]
 
     def _extract_result_kwargs(self):
         kwargs = super()._extract_result_kwargs()
@@ -662,8 +696,8 @@ class AdaptiveDistanceSMC(SMC):
         sample = Sample("Rejection within adaptive distance SMC-ABC",
                         outputs, self.parameter_names,
                         discrepancy_name=self.discrepancy_name, **meta)
-        means, w, cov = self._compute_weights_means_and_cov(sample)
-        sample.means = means
+        theta, w, cov = self._weigh_population(sample)
+        sample.means = theta
         sample.weights = w
         sample.meta["cov"] = cov
         return sample
@@ -674,10 +708,10 @@ class AdaptiveDistanceSMC(SMC):
                                          for pop in self._populations]
         return kwargs
 
-    def _set_threshold(self):
-        round = self.state["round"]
-        self.objective["thresholds"][round] = \
-            self._populations[round - 1].meta["threshold"]
+    def _quantile_threshold(self, r, q):
+        # the distance functions change every round, so the next round's
+        # bound is the previous population's max distance, not a quantile
+        return self._populations[r - 1].meta["threshold"]
 
     @property
     def current_population_threshold(self):
@@ -720,25 +754,24 @@ class AdaptiveThresholdSMC(SMC):
         self._new_population = self._extract_population()
         if self.state["round"] >= self.objective["round"]:
             return False
-        self._set_adaptive_quantile()
-        if self._quantiles[self.state["round"] + 1] >= self.q_threshold:
+        if self._set_adaptive_quantile() >= self.q_threshold:
             return False
         self._populations.append(self._new_population)
         self.state["round"] += 1
-        self._init_new_round()
+        self._begin_round()
         return True
 
     def set_objective(self, n_samples, max_iter=10):
-        rounds = max_iter - 1
         self.state["round"] = len(self._populations)
-        rounds += self.state["round"]
-        thresholds = np.full((rounds + 1), None)
-        self._quantiles = np.full((rounds + 1), None)
-        self._quantiles[0] = self.initial_quantile
+        # quantile slots beyond round 0 stay empty until the density-ratio
+        # fit fills them between rounds
+        self.schedule.extend(max_iter,
+                             quantiles=[self.initial_quantile]
+                             + [None] * (max_iter - 1))
         self.objective.update(dict(n_samples=n_samples,
                                    n_batches=self.max_parallel_batches,
-                                   round=rounds, thresholds=thresholds))
-        self._init_new_round()
+                                   round=self.schedule.n_rounds - 1))
+        self._begin_round()
         self._update_objective()
 
     def update(self, batch, batch_index):
@@ -747,27 +780,16 @@ class AdaptiveThresholdSMC(SMC):
         if self._rejection.finished:
             self.batches.cancel_pending()
             self._new_population = self._extract_population()
-            if self.state["round"] < self.objective["round"]:
-                self._set_adaptive_quantile()
-                if self._quantiles[self.state["round"] + 1] < self.q_threshold:
-                    self._populations.append(self._new_population)
-                    self.state["round"] += 1
-                    self._init_new_round()
+            if self.state["round"] < self.objective["round"] and \
+                    self._set_adaptive_quantile() < self.q_threshold:
+                self._populations.append(self._new_population)
+                self.state["round"] += 1
+                self._begin_round()
         self._update_objective()
 
-    def _init_new_round(self):
-        self._set_rejection_round(self.state["round"])
-        if self.state["round"] == 0:
-            self._rejection.set_objective(self.objective["n_samples"],
-                                          quantile=self._quantiles[0])
-        else:
-            self._set_threshold()
-            self._rejection.set_objective(
-                self.objective["n_samples"],
-                threshold=self.current_population_threshold)
-
     def _set_adaptive_quantile(self):
-        """Next quantile = max(1/max-density-ratio, 0.05) (reference
+        """Fill the NEXT round's quantile slot with
+        ``max(1 / max-density-ratio, 0.05)`` and return it (reference
         ``samplers.py:791-813``)."""
         from .density_ratio_estimation import calculate_densratio_basis_sigma
         cur = self._resolve_sample(0)
@@ -781,7 +803,9 @@ class AdaptiveThresholdSMC(SMC):
                            weights_x=cur["weights"], weights_y=prev["weights"],
                            sigma=sigma)
         max_value = max(self.densratio.max_ratio(), 1.0)
-        self._quantiles[self.state["round"] + 1] = max(1 / max_value, 0.05)
+        q = max(1 / max_value, 0.05)
+        self.schedule.quantiles[self.state["round"] + 1] = q
+        return q
 
     def _resolve_sample(self, backwards_index):
         if self.state["round"] + backwards_index < 0:
