@@ -19,9 +19,9 @@ from .model import (AdaptiveDistance, ComputationContext, Constant,  # noqa: F40
                     get_default_model, new_model, set_default_model)
 from .model.model import load_model  # noqa: F401
 from .ops.distributions import Distribution  # noqa: F401
-from .parallel import (BatchHandler, MultiprocessingBackend,  # noqa: F401
-                       NativeBackend, ShardedBackend, get_client,
-                       reset_client, set_client)
+from .parallel import (BatchHandler, ClusterBackend,  # noqa: F401
+                       MultiprocessingBackend, NativeBackend,
+                       ShardedBackend, get_client, reset_client, set_client)
 from .methods import (BOLFI, BOLFIRE, BSL, ROMC, SMC, AdaptiveDistanceSMC,  # noqa: F401
                       AdaptiveThresholdSMC, BayesianOptimization,
                       GPRegression, ModelBased, OptimizationResult,

@@ -48,10 +48,12 @@ def set_client(client=None, **kwargs):
     ('native' | 'sharded' | 'multiprocessing')."""
     global _client
     if isinstance(client, str):
+        from .cluster import ClusterBackend
         from .multihost import MultihostBackend
         mapping = {"native": NativeBackend, "sharded": ShardedBackend,
                    "multiprocessing": MultiprocessingBackend,
-                   "multihost": MultihostBackend}
+                   "multihost": MultihostBackend,
+                   "cluster": ClusterBackend}
         if client in mapping:
             client = mapping[client](**kwargs)
         else:  # entry-point style module with Client attribute
@@ -220,9 +222,15 @@ def _mp_worker_init():
     JAX initialises (a TPU cannot be shared across processes)."""
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # do NOT inherit the parent's persistent compilation cache: XLA:CPU
+    # AOT entries embed machine features, and loading an entry compiled
+    # under a different feature set SIGILLs the worker (observed on this
+    # box: "+prefer-no-gather ... not supported on the host machine")
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
     import jax as _jax
     try:
         _jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_compilation_cache_dir", None)
     except Exception:
         pass
 
