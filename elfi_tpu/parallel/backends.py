@@ -243,27 +243,56 @@ def _run_host_task(program, seed, batch_index, overrides, batch_size):
 
 class MultiprocessingBackend(BackendBase):
     """Process-pool task farm for host-only graphs (external/native
-    simulators) — analogue of ``elfi/clients/multiprocessing.py``."""
+    simulators) — analogue of ``elfi/clients/multiprocessing.py``.
 
-    def __init__(self, num_processes=None):
+    Fault tolerance: a task that exceeds ``task_timeout`` seconds or dies
+    with the pool raises at ``get_result``, where the BatchHandler's
+    deterministic resubmission replays the batch index exactly; a broken
+    pool is rebuilt before the retry."""
+
+    def __init__(self, num_processes=None, task_timeout=600):
         super().__init__()
         import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor
         self.num_cores = num_processes or mp.cpu_count()
+        self.task_timeout = task_timeout
+        self._make_pool()
+
+    def _make_pool(self):
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
         # spawn (not fork): JAX is multithreaded and fork deadlocks
         self._pool = ProcessPoolExecutor(
             max_workers=self.num_cores, mp_context=mp.get_context("spawn"),
             initializer=_mp_worker_init)
 
+    def _rebuild_pool(self):
+        try:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
+        self._make_pool()
+
     def _launch(self, program, seed, batch_index, overrides, batch_size):
         return self._pool.submit(_run_host_task, program, seed, batch_index,
                                  overrides, batch_size)
 
+    def _result(self, future):
+        import concurrent.futures as cf
+        try:
+            return future.result(timeout=self.task_timeout)
+        except cf.TimeoutError:
+            future.cancel()
+            raise RuntimeError(
+                f"multiprocessing task exceeded {self.task_timeout}s")
+        except cf.process.BrokenProcessPool:
+            self._rebuild_pool()
+            raise
+
     def _materialize(self, handle):
         if isinstance(handle, tuple) and handle and handle[0] == "thunk":
             _, fn, args, kwargs = handle
-            return self._pool.submit(fn, *args, **kwargs).result()
-        return handle.result()
+            return self._result(self._pool.submit(fn, *args, **kwargs))
+        return self._result(handle)
 
     def is_ready(self, task_id):
         h = self._tasks.get(task_id)

@@ -15,8 +15,19 @@ def setup_performance_cache(cache_dir=".jax_cache", min_compile_secs=0.5):
     The location stripping matters: Mosaic/pallas payloads embed source
     locations of the CALLING context, so structurally identical programs
     built from different call sites produce different cache keys and
-    recompile (tens of seconds each on a remote-compile setup)."""
+    recompile (tens of seconds each on a remote-compile setup).
+
+    The cache lives in a PER-PLATFORM subdirectory: XLA:CPU AOT entries
+    embed the compiling process's CPU feature flags, and a TPU-attached
+    process detects different flags than a pure-CPU one on the same box —
+    mixing their entries in one directory SIGSEGVs whichever process
+    loads the other's executables (observed: segfault inside
+    ``compilation_cache.get_executable_and_time`` mid-test-suite)."""
+    import os
+
     import jax
+    cache_dir = os.path.join(cache_dir, jax.default_backend())
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

@@ -18,9 +18,13 @@ import jax  # noqa: E402
 # enough on machines where a sitecustomize force-registers a TPU plugin.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: NUTS/GP programs compile once across sessions
+# persistent compile cache: NUTS/GP programs compile once across sessions.
+# Platform-suffixed dir: CPU AOT entries from TPU-attached processes carry
+# different machine-feature flags and SIGSEGV this pure-CPU process
+# (see elfi_tpu.utils.setup_performance_cache).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                               "cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
