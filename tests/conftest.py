@@ -18,14 +18,13 @@ import jax  # noqa: E402
 # enough on machines where a sitecustomize force-registers a TPU plugin.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: NUTS/GP programs compile once across sessions.
-# Platform-suffixed dir: CPU AOT entries from TPU-attached processes carry
-# different machine-feature flags and SIGSEGV this pure-CPU process
-# (see elfi_tpu.utils.setup_performance_cache).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
-                               "cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compile cache for the CPU suite: XLA:CPU AOT entries are
+# unreliable to LOAD on this box — a long pytest process re-reading an
+# entry (even one written by an identical CPU process) segfaults inside
+# compilation_cache.get_executable_and_time ("machine feature ...
+# prefer-no-gather is not supported" / SIGILL-class loader bug).
+# Within-session reuse is covered by jit's in-memory cache; the TPU-side
+# cache (bench) stays on via setup_performance_cache's per-platform dir.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
