@@ -70,6 +70,7 @@ class ClusterBackend:
         self._joined = []                # connections accepted by the thread
         self._lock = threading.Lock()
         self.local_fallback = local_fallback
+        self._authkey = authkey
         self._listener = Listener(tuple(address), authkey=authkey)
         self._accepting = True
         self._acceptor = threading.Thread(target=self._accept_loop,
@@ -231,6 +232,14 @@ class ClusterBackend:
 
     def close(self):
         self._accepting = False
+        # closing the listener does NOT interrupt a blocked accept() on
+        # this platform — poke it with a throwaway connection first so
+        # the acceptor thread exits instead of leaking
+        try:
+            _ConnClient(self.address, authkey=self._authkey).close()
+        except Exception:
+            pass
+        self._acceptor.join(timeout=2)
         try:
             self._listener.close()
         except Exception:

@@ -38,6 +38,22 @@ def pytest_addoption(parser):
                           "(native/sharded/multiprocessing)")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A single pytest process that accumulates the whole suite's compiled
+    XLA:CPU programs eventually SEGFAULTS inside the CPU compiler/loader
+    (reproduced deterministically at the ~200-program mark, at cache-read
+    AND at fresh-compile sites; never reproducible for any single module).
+    Clearing jax's in-memory caches per module keeps the process inside
+    the regime where XLA:CPU is reliable; programs recompile on next use,
+    which individual modules do anyway."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()
+
+
 @pytest.fixture(scope="session", params=["native", "sharded"])
 def client(request):
     """Session-scoped backend instance; skips backends that fail to
