@@ -25,15 +25,18 @@ __all__ = ["stochastic_optimization", "minimize", "minimize_traced",
 def adam_minimize(obj, x0, steps, lr, lo, hi):
     """Traceable bounded Adam descent tracking the best iterate;
     ``obj(theta) -> scalar`` must be traceable."""
-    grad = jax.grad(obj)
+    # one objective evaluation per step: value_and_grad shares the primal
+    # between best-tracking and the gradient (the objectives here are GP
+    # predicts / marginal likelihoods — a triangular solve or Cholesky
+    # each, so halving evaluations matters inside the fused BO loops)
+    value_and_grad = jax.value_and_grad(obj)
 
     def body(i, carry):
         x, m, v, best_x, best_f = carry
-        f = obj(x)
+        f, g = value_and_grad(x)
         better = f < best_f
         best_x = jnp.where(better, x, best_x)
         best_f = jnp.where(better, f, best_f)
-        g = grad(x)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         m = 0.9 * m + 0.1 * g
         v = 0.999 * v + 0.001 * g * g
