@@ -207,15 +207,22 @@ class CompiledProgram:
             if kind == "constant":
                 vals[name] = st["value"]
             elif kind == "rv":
+                dist = st["distribution"]
+                if getattr(dist, "host", False):
+                    # scipy-adapter RVs draw with a RandomState derived
+                    # from the same per-node counter key (replayable)
+                    rkw = {"random_state":
+                           np.random.RandomState(_host_seed(nkey))}
+                else:
+                    rkw = {"key": nkey}
                 size = st.get("size")
                 if size:
                     total = batch_size * int(np.prod(size))
-                    draw = st["distribution"].rvs(*parents, size=total, key=nkey)
+                    draw = dist.rvs(*parents, size=total, **rkw)
                     vals[name] = np.reshape(np.asarray(draw),
                                             (batch_size,) + tuple(size))
                 else:
-                    vals[name] = st["distribution"].rvs(
-                        *parents, size=batch_size, key=nkey)
+                    vals[name] = dist.rvs(*parents, size=batch_size, **rkw)
             elif kind in ("simulator", "summary", "operation", "discrepancy"):
                 kwargs = {}
                 if kind == "simulator" or st.get("stochastic"):

@@ -391,9 +391,13 @@ def _lookahead_state_fn(fns):
     covariance into a single triangular solve, and the current indicator
     mean Phi at every node.  Built per GP-kernel bundle so custom kernels
     flow through."""
+    # keyed by id(fns) but keeping a strong reference to fns: the bundle
+    # stays alive while cached, so the id can never be reused for a
+    # different kernel's bundle (same staleness class as the
+    # ShardedBackend id-keying bug)
     cached = _LOOKAHEAD_CACHE.get(id(fns))
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is fns:
+        return cached[1]
 
     def state(Xp, mask, L, alpha, params, eps, points):
         mean_p, var_p = fns.predict_noiseless(points, Xp, mask, L, alpha,
@@ -404,7 +408,7 @@ def _lookahead_state_fn(fns):
         return mean_p, var_p, whitened, phi_p
 
     jitted = jax.jit(state)
-    _LOOKAHEAD_CACHE[id(fns)] = jitted
+    _LOOKAHEAD_CACHE[id(fns)] = (fns, jitted)
     return jitted
 
 
@@ -477,6 +481,8 @@ class ExpIntVar(MaxVar):
         self._loss_fns = dict(
             scalar=loss_one,
             batch=jax.jit(jax.vmap(loss_one, in_axes=(0,) + (None,) * 12)),
+            grad=jax.jit(jax.vmap(jax.grad(loss_one),
+                                  in_axes=(0,) + (None,) * 12)),
         )
         return self._loss_fns
 
@@ -508,6 +514,16 @@ class ExpIntVar(MaxVar):
 
     def acquire(self, n, t=None):
         self._refresh_state(t)
+        if self.constraints is not None:
+            # constrained host path (this rule MINIMISES the loss)
+            theta_min, _ = minimize(
+                lambda x: self.evaluate(x, t), self.model.bounds,
+                method="SLSQP", constraints=self.constraints,
+                grad=lambda x: self.evaluate_gradient(x, t),
+                prior=self.prior, n_start_points=self.n_inits,
+                maxiter=self.max_opt_iters,
+                random_state=self.random_state)
+            return self._add_noise(np.tile(np.asarray(theta_min), (n, 1)))
         loss = self._build_loss()["scalar"]
         self._acq_count += 1
         key = jax.random.fold_in(jax.random.key(self.seed), self._acq_count)
@@ -528,9 +544,13 @@ class ExpIntVar(MaxVar):
         return np.asarray(vals)
 
     def evaluate_gradient(self, theta_new, t=None):
-        raise NotImplementedError(
-            "ExpIntVar acquisition runs fully traced; use jax.grad of the "
-            "traceable loss")
+        """Autodiff gradient of the traced lookahead loss, (n, d)."""
+        if self._state is None:
+            self._refresh_state(t)
+        theta = jnp.atleast_2d(jnp.asarray(theta_new, jnp.float32))
+        grads = self._build_loss()["grad"](
+            theta, *(self._gp_args() + self._state + (self._weights,)))
+        return np.asarray(jnp.where(jnp.isfinite(grads), grads, 0.0))
 
 
 class UniformAcquisition(AcquisitionBase):

@@ -770,12 +770,20 @@ class ROMC(ParameterInference):
 
         self._filter_solutions(eps_filter)
         accepted = self.inference_state["accepted"]
-        computed_bb = []
-        for i, prob in enumerate(self.optim_problems):
-            if accepted[i]:
-                computed_bb.append(prob.build_region(**region_args))
-            else:
-                computed_bb.append(False)
+        if self._can_batch_regions(accepted, region_args["use_surrogate"]):
+            # ALL line searches (accepted problems x dims x 2 directions)
+            # run as ONE jitted vmapped program — the per-problem loop
+            # costs up to n_acc*dim*2 sequential while_loop dispatches on
+            # a ~30 ms-latency remote chip (reference romc.py:1851-2015)
+            self._build_regions_batched(accepted, **region_args)
+            computed_bb = [bool(a) for a in accepted]
+        else:
+            computed_bb = []
+            for i, prob in enumerate(self.optim_problems):
+                if accepted[i]:
+                    computed_bb.append(prob.build_region(**region_args))
+                else:
+                    computed_bb.append(False)
         self.inference_state["computed_BB"] = computed_bb
         self.inference_state["_has_estimated_regions"] = True
 
@@ -786,6 +794,85 @@ class ROMC(ParameterInference):
             self.inference_state["_has_fitted_local_models"] = True
 
         self._define_posterior(eps_cutoff=eps_cutoff)
+
+    def _can_batch_regions(self, accepted, use_surrogate):
+        """Batched construction covers the default problem class with
+        either the shared traceable objective or same-shape GP surrogates;
+        custom optimisation classes keep the per-problem path."""
+        if self.custom_optim_class is not None:
+            return False
+        probs = [p for p, a in zip(self.optim_problems, accepted) if a]
+        if not probs:
+            return False
+        if use_surrogate:
+            if any(p.bo_process is None for p in probs):
+                return False
+            fns0 = probs[0].bo_process.fns
+            cap0 = probs[0].bo_process._factor[0].shape
+            return all(p.bo_process.fns is fns0
+                       and p.bo_process._factor[0].shape == cap0
+                       for p in probs)
+        return all(p._traceable is self._objective for p in probs)
+
+    def _build_regions_batched(self, accepted, eps_region, use_surrogate,
+                               K=10, eta=1., rep_lim=300):
+        """One jitted program: line searches vmapped over
+        (accepted problems) x (2 * dim eigenvector directions)."""
+        probs = [p for p, a in zip(self.optim_problems, accepted) if a]
+        D = self.dim
+        theta0 = np.stack([np.asarray(p.result.x_min, np.float32)
+                           for p in probs])
+        rotations = np.stack([
+            RegionConstructor._find_rotation(np.asarray(p.result.hess_appr))
+            for p in probs]).astype(np.float32)
+        # per problem: rows d<D are -eigvec_d, rows d>=D are +eigvec_d
+        rot_t = np.transpose(rotations, (0, 2, 1))
+        dirs = np.concatenate([-rot_t, rot_t], axis=1)      # (n, 2D, D)
+
+        if use_surrogate:
+            fns = probs[0].bo_process.fns
+            aux = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[p.bo_process._factor for p in probs])
+
+            def f_of(theta, aux_one):
+                Xp, mask, L, alpha, params = aux_one
+                mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L,
+                                              alpha, params)
+                return mu[0]
+
+            cache_key = ("surrogate", id(fns), K, eta, rep_lim)
+        else:
+            obj = self._objective
+            aux = jnp.stack([p.key for p in probs])
+
+            def f_of(theta, key):
+                return obj(theta, key)
+
+            cache_key = ("objective", K, eta, rep_lim)
+
+        cache = self.__dict__.setdefault("_region_search_cache", {})
+        search = cache.get(cache_key)
+        if search is None:
+            def per_problem(th0, ds, aux_one, eps):
+                return jax.vmap(lambda vd: line_search(
+                    lambda t: f_of(t, aux_one), th0, vd, eps, K, eta,
+                    rep_lim))(ds)
+
+            search = jax.jit(jax.vmap(per_problem,
+                                      in_axes=(0, 0, 0, None)))
+            cache[cache_key] = search
+
+        offsets = np.asarray(search(jnp.asarray(theta0), jnp.asarray(dirs),
+                                    aux, jnp.float32(eps_region)))
+        for i, prob in enumerate(probs):
+            limits = np.stack([-offsets[i, :D], offsets[i, D:]], axis=1)
+            prob.regions = [NDimBoundingBox(rotations[i], theta0[i],
+                                            limits)]
+            prob.eps_region = float(eps_region)
+            prob.state["region"] = True
+            if use_surrogate:
+                prob.state["has_built_region_with_surrogate"] = True
 
     def _define_posterior(self, eps_cutoff):
         use_surrogate = self.inference_state["_has_fitted_surrogate_model"]

@@ -44,6 +44,11 @@ class ModelPrior:
         self._order = order
         self._states = {n: dag.get_state(n) for n in order}
         self._parents = {n: dag.parents(n) for n in order}
+        # scipy-adapter priors evaluate eagerly on host; traced/fused
+        # method paths are unavailable for them
+        self._has_host = any(
+            st["kind"] == "rv" and getattr(st["distribution"], "host", False)
+            for st in self._states.values())
 
     # -- sampling ---------------------------------------------------------------
     def rvs(self, size=1, key=None, random_state=None, seed=None):
@@ -100,9 +105,22 @@ class ModelPrior:
     def traceable_logpdf(self):
         """Traceable ``x (n, dim) -> (n,)`` joint log-prior for embedding in
         jitted samplers/acquisitions."""
+        if self._has_host:
+            raise ValueError(
+                "The prior contains host-path (scipy-adapter) "
+                "distributions, which cannot be traced into jitted device "
+                "programs. Use JAX-native distributions (or an "
+                "elfi_tpu.Distribution subclass) for methods that fuse "
+                "the prior on device.")
         return self._logpdf_traceable()
 
     def logpdf(self, x):
+        if self._has_host:
+            # eager host evaluation (scipy densities are numpy callables)
+            fn = self._logpdf_traceable()
+            x = np.atleast_2d(np.asarray(x, np.float64))
+            lp = np.asarray(fn(x))
+            return lp.squeeze() if x.shape[0] == 1 else lp
         if self._logpdf_jit is None:
             self._logpdf_jit = jax.jit(self._logpdf_traceable())
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
@@ -113,7 +131,13 @@ class ModelPrior:
         return np.exp(self.logpdf(x))
 
     def gradient_logpdf(self, x):
-        """(n, dim) gradient of the joint log-prior via autodiff."""
+        """(n, dim) gradient of the joint log-prior via autodiff (host
+        priors fall back to numerical differences)."""
+        if self._has_host:
+            x = np.atleast_2d(np.asarray(x, np.float64))
+            g = np.stack([self.numerical_gradient_logpdf(row) for row in x])
+            g = g.reshape(x.shape)
+            return np.where(np.isfinite(g), g, 0.0)
         fn = self._logpdf_traceable()
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         g = jax.jit(jax.grad(lambda xx: jnp.sum(fn(xx))))(x)

@@ -352,8 +352,13 @@ class RandomVariable(NodeReference):
     def __init__(self, distribution, *params, size=None, **kwargs):
         if isinstance(distribution, str):
             distribution = dists.from_name(distribution)
+        else:
+            # scipy (frozen or not) and other random_state-style objects
+            # get the host adapter; JAX-native distributions pass through
+            distribution = dists.wrap_if_foreign(distribution)
         state = {"distribution": distribution, "size": size,
-                 "stochastic": True}
+                 "stochastic": True,
+                 "host": bool(getattr(distribution, "host", False))}
         super().__init__(*params, state=state, **kwargs)
 
     @property

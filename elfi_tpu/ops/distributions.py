@@ -20,6 +20,8 @@ Conventions
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.scipy import special as jsp
@@ -27,7 +29,8 @@ from jax.scipy import special as jsp
 __all__ = [
     "Distribution", "uniform", "norm", "truncnorm", "multivariate_normal",
     "lognorm", "expon", "gamma", "beta", "binom", "poisson", "levy_stable",
-    "from_name",
+    "t", "cauchy", "laplace", "chi2", "skewnorm", "weibull_min",
+    "ScipyHostDistribution", "wrap_if_foreign", "from_name",
 ]
 
 
@@ -406,19 +409,319 @@ class levy_stable(Distribution):
         return loc + scale * x0
 
 
+class t(Distribution):
+    """Student's t with ``df`` degrees of freedom (scipy ``t``)."""
+    name = "t"
+
+    @classmethod
+    def rvs(cls, df, loc=0.0, scale=1.0, size=1, key=None):
+        shape = _draw_shape(size, df, loc, scale)
+        return loc + scale * jax.random.t(key, jnp.asarray(df, jnp.float32),
+                                          shape)
+
+    @classmethod
+    def logpdf(cls, x, df, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        df = jnp.asarray(df, jnp.float32)
+        return (jsp.gammaln((df + 1) / 2) - jsp.gammaln(df / 2)
+                - 0.5 * jnp.log(df * jnp.pi)
+                - (df + 1) / 2 * jnp.log1p(z * z / df)
+                - jnp.log(jnp.asarray(scale, jnp.float32)))
+
+    @classmethod
+    def cdf(cls, x, df, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        df = jnp.asarray(df, jnp.float32)
+        # 1 - I_{df/(df+z^2)}(df/2, 1/2) / 2 for z >= 0, symmetric below
+        ib = jsp.betainc(df / 2, 0.5, df / (df + z * z))
+        return jnp.where(z >= 0, 1.0 - 0.5 * ib, 0.5 * ib)
+
+    @classmethod
+    def ppf(cls, q, df, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        df = jnp.asarray(df, jnp.float32)
+        qb, dfb = jnp.broadcast_arrays(q, df)
+        # solve on the upper half by symmetry: z >= 0 for p >= 0.5
+        p = jnp.clip(jnp.where(qb >= 0.5, qb, 1.0 - qb), 0.5, 1.0 - 1e-7)
+        hi0 = jnp.full(p.shape, 10.0)
+
+        def grow(hi):
+            return jnp.where(cls.cdf(hi, dfb) < p, hi * 4.0, hi)
+
+        hi = jax.lax.while_loop(
+            lambda hi: jnp.any(cls.cdf(hi, dfb) < p), grow, hi0)
+        z = _bisect_ppf(lambda z: cls.cdf(z, dfb), p, jnp.zeros_like(hi), hi)
+        z = jnp.where(qb >= 0.5, z, -z)
+        return _ppf_nan_guard(qb, loc + scale * z)
+
+
+class cauchy(Distribution):
+    name = "cauchy"
+
+    @classmethod
+    def rvs(cls, loc=0.0, scale=1.0, size=1, key=None):
+        shape = _draw_shape(size, loc, scale)
+        return loc + scale * jax.random.cauchy(key, shape)
+
+    @classmethod
+    def logpdf(cls, x, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return (-jnp.log(jnp.pi) - jnp.log(jnp.asarray(scale, jnp.float32))
+                - jnp.log1p(z * z))
+
+    @classmethod
+    def cdf(cls, x, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return 0.5 + jnp.arctan(z) / jnp.pi
+
+    @classmethod
+    def ppf(cls, q, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        return _ppf_nan_guard(q, loc + scale * jnp.tan(jnp.pi * (q - 0.5)))
+
+
+class laplace(Distribution):
+    name = "laplace"
+
+    @classmethod
+    def rvs(cls, loc=0.0, scale=1.0, size=1, key=None):
+        shape = _draw_shape(size, loc, scale)
+        return loc + scale * jax.random.laplace(key, shape)
+
+    @classmethod
+    def logpdf(cls, x, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return -jnp.abs(z) - jnp.log(2 * jnp.asarray(scale, jnp.float32))
+
+    @classmethod
+    def cdf(cls, x, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+    @classmethod
+    def ppf(cls, q, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        val = jnp.where(q < 0.5, loc + scale * jnp.log(2 * q),
+                        loc - scale * jnp.log(2 * (1 - q)))
+        return _ppf_nan_guard(q, val)
+
+
+class chi2(Distribution):
+    """Chi-squared with ``df`` degrees of freedom = gamma(df/2, scale=2)."""
+    name = "chi2"
+
+    @classmethod
+    def rvs(cls, df, loc=0.0, scale=1.0, size=1, key=None):
+        return gamma.rvs(jnp.asarray(df, jnp.float32) / 2, loc,
+                         2.0 * jnp.asarray(scale, jnp.float32),
+                         size=size, key=key)
+
+    @classmethod
+    def logpdf(cls, x, df, loc=0.0, scale=1.0):
+        return gamma.logpdf(x, jnp.asarray(df, jnp.float32) / 2, loc,
+                            2.0 * jnp.asarray(scale, jnp.float32))
+
+    @classmethod
+    def cdf(cls, x, df, loc=0.0, scale=1.0):
+        return gamma.cdf(x, jnp.asarray(df, jnp.float32) / 2, loc,
+                         2.0 * jnp.asarray(scale, jnp.float32))
+
+    @classmethod
+    def ppf(cls, q, df, loc=0.0, scale=1.0):
+        return gamma.ppf(q, jnp.asarray(df, jnp.float32) / 2, loc,
+                         2.0 * jnp.asarray(scale, jnp.float32))
+
+
+class skewnorm(Distribution):
+    """Azzalini skew normal with shape ``a`` (scipy ``skewnorm``)."""
+    name = "skewnorm"
+
+    @classmethod
+    def rvs(cls, a, loc=0.0, scale=1.0, size=1, key=None):
+        # conditional representation: z = delta |z0| + sqrt(1-delta^2) z1
+        shape = _draw_shape(size, a, loc, scale)
+        k0, k1 = jax.random.split(key)
+        a = jnp.asarray(a, jnp.float32)
+        delta = a * jax.lax.rsqrt(1.0 + a * a)
+        z0 = jax.random.normal(k0, shape)
+        z1 = jax.random.normal(k1, shape)
+        z = delta * jnp.abs(z0) + jnp.sqrt(1.0 - delta * delta) * z1
+        return loc + scale * z
+
+    @classmethod
+    def logpdf(cls, x, a, loc=0.0, scale=1.0):
+        from . import special
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        return (jnp.log(2.0) + norm.logpdf(z)
+                + special.norm_logcdf(jnp.asarray(a, jnp.float32) * z)
+                - jnp.log(jnp.asarray(scale, jnp.float32)))
+
+    @classmethod
+    def cdf(cls, x, a, loc=0.0, scale=1.0):
+        from . import special
+        return special.skewnorm_cdf(jnp.asarray(x, jnp.float32),
+                                    jnp.asarray(a, jnp.float32), loc, scale)
+
+
+class weibull_min(Distribution):
+    """Weibull with shape ``c`` (scipy ``weibull_min``)."""
+    name = "weibull_min"
+
+    @classmethod
+    def rvs(cls, c, loc=0.0, scale=1.0, size=1, key=None):
+        shape = _draw_shape(size, c, loc, scale)
+        u = jax.random.uniform(key, shape, minval=1e-7, maxval=1.0)
+        return loc + scale * (-jnp.log(u)) ** (1.0 / jnp.asarray(c, jnp.float32))
+
+    @classmethod
+    def logpdf(cls, x, c, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        c = jnp.asarray(c, jnp.float32)
+        safe = jnp.where(z > 0, z, 1.0)
+        lp = (jnp.log(c) + (c - 1) * jnp.log(safe) - safe ** c
+              - jnp.log(jnp.asarray(scale, jnp.float32)))
+        return jnp.where(z > 0, lp, -jnp.inf)
+
+    @classmethod
+    def cdf(cls, x, c, loc=0.0, scale=1.0):
+        z = (jnp.asarray(x, jnp.float32) - loc) / scale
+        c = jnp.asarray(c, jnp.float32)
+        return jnp.where(z > 0, -jnp.expm1(-jnp.where(z > 0, z, 1.0) ** c),
+                         0.0)
+
+    @classmethod
+    def ppf(cls, q, c, loc=0.0, scale=1.0):
+        q = jnp.asarray(q, jnp.float32)
+        c = jnp.asarray(c, jnp.float32)
+        val = loc + scale * (-jnp.log1p(-q)) ** (1.0 / c)
+        return _ppf_nan_guard(q, val)
+
+
+class ScipyHostDistribution(Distribution):
+    """Host-path adapter around any ``scipy.stats`` distribution (or any
+    object with a ``random_state``-style ``rvs``) — reference parity with
+    ``elfi/utils.py:18-23`` (resolve by name) and
+    ``elfi/model/utils.py:6-34`` (wrap any rvs object).
+
+    Nodes built on it are marked ``host=True`` so the whole program routes
+    through the eager host executor; the per-node counter-derived key is
+    converted into a seeded ``np.random.RandomState``, keeping the
+    replayability contract.  Traced/fused method paths require JAX-native
+    distributions — use those (or a :class:`Distribution` subclass) when
+    device execution matters.
+    """
+
+    host = True
+
+    def __init__(self, dist, name=None):
+        if isinstance(dist, str):
+            import scipy.stats as ss
+            obj = getattr(ss, dist, None)
+            if obj is None or not hasattr(obj, "rvs"):
+                raise ValueError(f"scipy.stats has no distribution {dist!r}")
+            name, dist = dist, obj
+        if not hasattr(dist, "rvs"):
+            raise ValueError(
+                f"{dist!r} cannot be used as a distribution: no rvs method")
+        self.scipy_dist = dist
+        self.name = name or getattr(dist, "name", None) \
+            or getattr(getattr(dist, "dist", None), "name", None) \
+            or type(dist).__name__
+
+    def _random_state(self, key=None, random_state=None):
+        if random_state is not None:
+            return random_state
+        if key is not None:
+            import jax
+            seed = int(np.asarray(
+                jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+            return np.random.RandomState(seed)
+        return np.random
+
+    def rvs(self, *params, size=1, key=None, random_state=None):
+        rs = self._random_state(key, random_state)
+        try:
+            return self.scipy_dist.rvs(*params, size=size, random_state=rs)
+        except TypeError:
+            # plain rvs objects without the random_state kwarg
+            return self.scipy_dist.rvs(*params, size=size)
+
+    def _delegate(self, method, x, *params):
+        fn = getattr(self.scipy_dist, method, None)
+        if fn is None and method in ("pdf", "logpdf"):   # discrete
+            fn = getattr(self.scipy_dist, method.replace("pdf", "pmf"), None)
+        if fn is None:
+            raise AttributeError(
+                f"{self.name} has no {method} (host scipy adapter)")
+        return fn(np.asarray(x), *params)
+
+    def pdf(self, x, *params):
+        return self._delegate("pdf", x, *params)
+
+    def logpdf(self, x, *params):
+        return self._delegate("logpdf", x, *params)
+
+    def cdf(self, x, *params):
+        return self._delegate("cdf", x, *params)
+
+    def ppf(self, q, *params):
+        return self._delegate("ppf", q, *params)
+
+    def gradient_logpdf(self, x, *params):
+        """3-point numerical gradient (host densities aren't traceable;
+        reference ``elfi/methods/utils.py:275-314``)."""
+        x = np.asarray(x, np.float64)
+        h = 1e-5 * np.maximum(np.abs(x), 1.0)
+        return ((self.logpdf(x + h, *params)
+                 - self.logpdf(x - h, *params)) / (2 * h))
+
+
+def wrap_if_foreign(distribution):
+    """Wrap scipy-style (``random_state``-driven) distribution objects in
+    the host adapter; JAX-native distributions pass through.
+
+    JAX-native = a :class:`Distribution` subclass/instance, or a
+    duck-typed object whose ``rvs`` declares an explicit ``key``
+    parameter.  Anything from ``scipy.*`` (frozen or not), and any other
+    rvs-bearing object, goes through :class:`ScipyHostDistribution` —
+    matching the reference's wrap-anything behavior
+    (``elfi/model/utils.py:6-34``)."""
+    if isinstance(distribution, Distribution) or (
+            isinstance(distribution, type)
+            and issubclass(distribution, Distribution)):
+        return distribution
+    if not type(distribution).__module__.startswith("scipy."):
+        import inspect
+        try:
+            if "key" in inspect.signature(distribution.rvs).parameters:
+                return distribution
+        except (TypeError, ValueError, AttributeError):
+            pass
+    return ScipyHostDistribution(distribution)
+
+
 _REGISTRY = {d.name: d for d in
              [uniform, norm, truncnorm, multivariate_normal, lognorm, expon,
-              gamma, beta, binom, poisson, levy_stable]}
+              gamma, beta, binom, poisson, levy_stable,
+              t, cauchy, laplace, chi2, skewnorm, weibull_min]}
 _REGISTRY["normal"] = norm
 _REGISTRY["exponential"] = expon
+_REGISTRY["student_t"] = t
 
 
 def from_name(name):
-    """Resolve a distribution by scipy-style name (reference
-    ``scipy_from_str``, ``elfi/utils.py:18-23``)."""
+    """Resolve a distribution by scipy-style name: the JAX-native zoo
+    first, then ANY ``scipy.stats`` distribution via the host adapter
+    (reference ``scipy_from_str``, ``elfi/utils.py:18-23``)."""
     try:
         return _REGISTRY[name.lower()]
     except KeyError:
+        pass
+    try:
+        return ScipyHostDistribution(name)
+    except ValueError:
         raise ValueError(
-            f"Unknown distribution {name!r}. Available: {sorted(_REGISTRY)}; "
-            f"or pass an elfi_tpu.Distribution subclass.") from None
+            f"Unknown distribution {name!r}: not in the JAX-native zoo "
+            f"({sorted(_REGISTRY)}) and not a scipy.stats distribution. "
+            f"Pass an elfi_tpu.Distribution subclass for custom "
+            f"distributions.") from None

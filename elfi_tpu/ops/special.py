@@ -16,10 +16,15 @@ from jax.scipy import special as jsp
 
 __all__ = ["owens_t", "skewnorm_cdf", "norm_cdf", "norm_logcdf"]
 
-# 32-point Gauss-Legendre nodes/weights on [0, 1]
-_GL_X, _GL_W = np.polynomial.legendre.leggauss(32)
-_GL_X = jnp.asarray((_GL_X + 1.0) / 2.0)
-_GL_W = jnp.asarray(_GL_W / 2.0)
+# 32-point Gauss-Legendre nodes/weights on [0, 1] — kept as NUMPY at
+# module scope: a module-level jnp.asarray would initialise the JAX
+# backend at import time, which breaks processes that must pick their
+# platform AFTER importing the package (`python -m elfi_tpu.worker`
+# imports elfi_tpu before it can force CPU; with the axon TPU plugin
+# registered, import-time init grabbed the TPU in every cluster worker)
+_GL_X_NP, _GL_W_NP = np.polynomial.legendre.leggauss(32)
+_GL_X_NP = ((_GL_X_NP + 1.0) / 2.0).astype(np.float32)
+_GL_W_NP = (_GL_W_NP / 2.0).astype(np.float32)
 
 
 def owens_t(h, a):
@@ -33,9 +38,10 @@ def owens_t(h, a):
     h, a = jnp.broadcast_arrays(h, a)
     hh = h[..., None]
     aa = a[..., None]
-    x = aa * _GL_X
+    x = aa * jnp.asarray(_GL_X_NP)
     integrand = jnp.exp(-0.5 * hh * hh * (1.0 + x * x)) / (1.0 + x * x)
-    return jnp.sum(_GL_W * aa * integrand, axis=-1) / (2.0 * jnp.pi)
+    return jnp.sum(jnp.asarray(_GL_W_NP) * aa * integrand,
+                   axis=-1) / (2.0 * jnp.pi)
 
 
 def norm_cdf(x, loc=0.0, scale=1.0):

@@ -8,20 +8,31 @@ number of workers — started whenever, on any reachable machine with the
 package installed — connect and pull batch tasks:
 
     # master
-    elfi.set_client(elfi.ClusterBackend())          # or address=(host, port)
-    print(elfi.get_client().address)                # give this to workers
+    elfi.set_client(elfi.ClusterBackend())
+    print(elfi.get_client().address)            # "host:port/authkey-hex"
 
     # each worker (started/stopped at ANY time)
-    python -m elfi_tpu.worker HOST:PORT
+    python -m elfi_tpu.worker HOST:PORT/AUTHKEY
+
+Every master generates its own random authkey (the HMAC challenge secret
+of :mod:`multiprocessing.connection`); it is handed out as part of
+``.address`` — there is no well-known key that would let a third party
+reach the pickle-deserializing listener.
 
 Elasticity and fault tolerance come from the engine's determinism
 contract: a batch is a pure function of (seed, batch_index), so tasks of
-a worker that disconnects mid-flight are silently reassigned, late
-workers immediately receive queued tasks, and with no workers attached
-the master simply computes batches itself (so the same script runs with
-or without a cluster).  ``num_cores`` tracks the live worker count, which
+a worker that disconnects mid-flight are silently reassigned, tasks of a
+*hung* worker are reclaimed after ``task_timeout`` seconds, late workers
+immediately receive queued tasks, and with no workers attached the
+master simply computes batches itself (so the same script runs with or
+without a cluster).  ``num_cores`` tracks the live worker count, which
 is what the inference methods use to size their in-flight pipeline — the
 reference's dynamic ``num_cores`` behavior.
+
+Programs ship to each worker ONCE: tasks reference a compiled program by
+key ``(model revision, outputs, override names)`` and carry the program
+object only the first time a given worker sees that key, so device-path
+graphs re-trace/jit once per worker instead of once per task.
 
 Workers force the CPU JAX backend (accelerators aren't shareable across
 processes); the intended use is farming HOST-side / external simulators,
@@ -30,6 +41,8 @@ exactly like the reference's cluster clients.
 
 from __future__ import annotations
 
+import logging
+import secrets
 import threading
 import time
 from multiprocessing.connection import Client as _ConnClient, Listener
@@ -38,31 +51,54 @@ import numpy as np
 
 import jax
 
-__all__ = ["ClusterBackend", "worker_main"]
+__all__ = ["ClusterBackend", "worker_main", "parse_address"]
 
-_AUTHKEY = b"elfi-tpu-cluster"
+logger = logging.getLogger(__name__)
+
+
+def parse_address(spec):
+    """Parse a ``HOST:PORT[/AUTHKEY-hex]`` handout string into
+    ``((host, port), authkey_bytes)``."""
+    if "/" in spec:
+        hostport, keyhex = spec.split("/", 1)
+        authkey = bytes.fromhex(keyhex)
+    else:
+        hostport, authkey = spec, None
+    host, port = hostport.rsplit(":", 1)
+    return (host, int(port)), authkey
 
 
 class _Worker:
     def __init__(self, conn):
         self.conn = conn
         self.inflight = set()   # task ids assigned and not yet returned
+        self.shipped = set()    # program keys this worker already holds
 
 
 class _Task:
-    def __init__(self, payload):
-        self.payload = payload
+    def __init__(self, program, seed, batch_index, overrides, batch_size):
+        self.program = program
+        self.seed = seed
+        self.batch_index = batch_index
+        self.overrides = overrides
+        self.batch_size = batch_size
         self.result = None
         self.error = None
         self.done = False
         self.worker = None
+        self.assigned_at = None
+
+
+def _program_key(program):
+    return (program.model.revision, program.outputs,
+            tuple(sorted(program.override_names)))
 
 
 class ClusterBackend:
     """Task farm over externally-launched TCP workers (elastic)."""
 
-    def __init__(self, address=("127.0.0.1", 0), authkey=_AUTHKEY,
-                 local_fallback=True):
+    def __init__(self, address=("127.0.0.1", 0), authkey=None,
+                 local_fallback=True, task_timeout=600):
         self._tasks = {}
         self._next = 0
         self._queue = []                 # task ids waiting for a worker
@@ -70,8 +106,13 @@ class ClusterBackend:
         self._joined = []                # connections accepted by the thread
         self._lock = threading.Lock()
         self.local_fallback = local_fallback
-        self._authkey = authkey
-        self._listener = Listener(tuple(address), authkey=authkey)
+        self.task_timeout = task_timeout
+        self.programs_shipped = 0        # wire payloads that carried a program
+        # per-master random HMAC secret: no well-known key guards the
+        # pickle-deserializing listener (handed to workers via .address)
+        self._authkey = authkey if authkey is not None \
+            else secrets.token_bytes(16)
+        self._listener = Listener(tuple(address), authkey=self._authkey)
         self._accepting = True
         self._acceptor = threading.Thread(target=self._accept_loop,
                                           daemon=True)
@@ -79,7 +120,10 @@ class ClusterBackend:
 
     @property
     def address(self):
-        return self._listener.address
+        """Worker handout string ``host:port/authkey-hex`` — pass to
+        ``python -m elfi_tpu.worker``."""
+        host, port = self._listener.address
+        return f"{host}:{port}/{self._authkey.hex()}"
 
     @property
     def num_cores(self):
@@ -95,6 +139,8 @@ class ClusterBackend:
                 conn = self._listener.accept()
             except (OSError, EOFError):
                 break
+            except Exception:              # failed HMAC challenge etc.
+                continue
             with self._lock:
                 self._joined.append(conn)
 
@@ -105,17 +151,19 @@ class ClusterBackend:
             self._workers.append(_Worker(conn))
 
     def _drop_worker(self, worker):
-        """A worker died: resubmit its in-flight tasks (deterministic per
-        batch index, so replay is exact)."""
+        """A worker died or hung: resubmit its in-flight tasks
+        (deterministic per batch index, so replay is exact)."""
         try:
             worker.conn.close()
         except Exception:
             pass
-        self._workers.remove(worker)
+        if worker in self._workers:
+            self._workers.remove(worker)
         for tid in worker.inflight:
             task = self._tasks.get(tid)
             if task is not None and not task.done:
                 task.worker = None
+                task.assigned_at = None
                 self._queue.append(tid)
 
     # -- task plumbing ---------------------------------------------------------
@@ -123,12 +171,23 @@ class ClusterBackend:
         tid = self._next
         self._next += 1
         overrides = {k: np.asarray(v) for k, v in (overrides or {}).items()}
-        task = _Task(("task", tid, program, seed, batch_index, overrides,
-                      batch_size))
+        task = _Task(program, seed, batch_index, overrides, batch_size)
         self._tasks[tid] = task
         self._queue.append(tid)
         self._pump()
         return tid
+
+    def _send_task(self, worker, tid, task):
+        """Wire a task; the program object rides along only the first time
+        this worker sees its key (ship-once; workers cache by key)."""
+        pkey = _program_key(task.program)
+        program = None if pkey in worker.shipped else task.program
+        worker.conn.send(("task", tid, pkey, program, task.seed,
+                          task.batch_index, task.overrides,
+                          task.batch_size))
+        if program is not None:
+            worker.shipped.add(pkey)
+            self.programs_shipped += 1
 
     def _pump(self):
         """Assign queued tasks to idle workers and drain results — all
@@ -158,22 +217,42 @@ class ClusterBackend:
                 continue
             worker = idle.pop(0)
             try:
-                worker.conn.send(task.payload)
+                self._send_task(worker, tid, task)
                 worker.inflight.add(tid)
                 task.worker = worker
+                task.assigned_at = time.monotonic()
             except (OSError, ValueError, EOFError):
                 self._drop_worker(worker)
                 self._queue.insert(0, tid)
 
+    def _reclaim_overdue(self):
+        """Drop workers whose assigned task exceeded the deadline — a hung
+        (not dead) worker would otherwise stall the master forever."""
+        if self.task_timeout is None:
+            return
+        now = time.monotonic()
+        for worker in list(self._workers):
+            overdue = [tid for tid in worker.inflight
+                       if (t := self._tasks.get(tid)) is not None
+                       and not t.done and t.assigned_at is not None
+                       and now - t.assigned_at > self.task_timeout]
+            if overdue:
+                logger.warning(
+                    "cluster worker unresponsive for >%ss on task(s) %s; "
+                    "dropping it and replaying deterministically",
+                    self.task_timeout, overdue)
+                self._drop_worker(worker)
+
     def _run_local(self, task):
-        _, tid, program, seed, batch_index, overrides, batch_size = \
-            task.payload
-        out = program.run(jax.random.key(seed), batch_index, overrides,
-                          batch_size)
+        out = task.program.run(jax.random.key(task.seed), task.batch_index,
+                               task.overrides, task.batch_size)
         task.result = {k: np.asarray(v) for k, v in out.items()}
         task.done = True
 
     def is_ready(self, task_id):
+        task = self._tasks.get(task_id)
+        if isinstance(task, tuple):          # thunk from apply()
+            return True
         self._pump()
         task = self._tasks.get(task_id)
         return task is not None and task.done
@@ -191,12 +270,13 @@ class ClusterBackend:
             self._pump()
             if task.done:
                 break
+            self._reclaim_overdue()
             if (self.local_fallback and not self._workers
                     and task.worker is None
                     and time.monotonic() > local_after):
                 # nobody attached (yet): compute the batch ourselves
                 try:
-                    self._queue.remove(self._tid_of(task))
+                    self._queue.remove(task_id)
                 except ValueError:
                     pass
                 self._run_local(task)
@@ -206,9 +286,6 @@ class ClusterBackend:
         if task.error is not None:
             raise task.error
         return task.result
-
-    def _tid_of(self, task):
-        return task.payload[1]
 
     def remove_task(self, task_id):
         self._tasks.pop(task_id, None)
@@ -236,7 +313,8 @@ class ClusterBackend:
         # this platform — poke it with a throwaway connection first so
         # the acceptor thread exits instead of leaking
         try:
-            _ConnClient(self.address, authkey=self._authkey).close()
+            _ConnClient(self._listener.address,
+                        authkey=self._authkey).close()
         except Exception:
             pass
         self._acceptor.join(timeout=2)
@@ -256,20 +334,34 @@ class ClusterBackend:
         self._workers.clear()
 
 
-def worker_main(address, authkey=_AUTHKEY):
+def worker_main(address, authkey=None):
     """Worker loop: connect to the master and execute batch tasks until a
     stop message or a dropped connection.  Entry point:
-    ``python -m elfi_tpu.worker HOST:PORT``."""
+    ``python -m elfi_tpu.worker HOST:PORT/AUTHKEY``.
+
+    Programs arrive once per key and are cached, so the embedded jit
+    cache persists across tasks — device graphs compile once per worker.
+    """
+    if isinstance(address, str):
+        address, parsed_key = parse_address(address)
+        authkey = authkey if authkey is not None else parsed_key
     conn = _ConnClient(tuple(address), authkey=authkey)
+    programs = {}                        # program key -> CompiledProgram
     try:
         while True:
             msg = conn.recv()
             if msg[0] == "stop":
                 break
-            _, tid, program, seed, batch_index, overrides, batch_size = msg
+            _, tid, pkey, program, seed, batch_index, overrides, \
+                batch_size = msg
             try:
-                out = program.run(jax.random.key(seed), batch_index,
-                                  overrides, batch_size)
+                if program is not None:
+                    while len(programs) > 32:     # FIFO bound
+                        programs.pop(next(iter(programs)))
+                    programs[pkey] = program
+                prog = programs[pkey]
+                out = prog.run(jax.random.key(seed), batch_index,
+                               overrides, batch_size)
                 conn.send(("result", tid,
                            {k: np.asarray(v) for k, v in out.items()}))
             except Exception as e:      # master retries deterministically

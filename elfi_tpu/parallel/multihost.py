@@ -51,6 +51,30 @@ def _transport_dtype(dtype):
     return dtype
 
 
+def _encode_transport(arr, shape, dtype):
+    """Lossless broadcast payload. With x64 disabled,
+    ``broadcast_one_to_all`` canonicalizes float64/int64 to 32-bit BEFORE
+    the psum, destroying low bits/values — so 8-byte dtypes travel as a
+    flat uint32 bit view (two words per element) and are reassembled by
+    :func:`_decode_transport`."""
+    if dtype.itemsize == 8:
+        flat = np.ascontiguousarray(arr, dtype).reshape(-1)
+        return flat.view(np.uint32)
+    return np.asarray(arr, _transport_dtype(dtype))
+
+
+def _encode_placeholder(shape, dtype):
+    if dtype.itemsize == 8:
+        return np.zeros(2 * int(np.prod(shape)), np.uint32)
+    return np.zeros(shape, _transport_dtype(dtype))
+
+
+def _decode_transport(arr, shape, dtype):
+    if dtype.itemsize == 8:
+        return np.ascontiguousarray(arr, np.uint32).view(dtype).reshape(shape)
+    return np.asarray(arr).astype(dtype)
+
+
 class MultihostBackend(BackendBase):
     """SPMD task farm: host ``p`` computes batch indices with
     ``index % num_processes == p``; the owner broadcasts each result."""
@@ -120,16 +144,15 @@ class MultihostBackend(BackendBase):
         if kind == "bcast_host":
             _, owner, result, key = handle
             shapes = self._host_shapes[key]
-            tdt = {k: _transport_dtype(dt) for k, (_, dt) in shapes.items()}
             if result is None:
-                payload = {k: np.zeros(shp, tdt[k])
-                           for k, (shp, _) in shapes.items()}
+                payload = {k: _encode_placeholder(shp, dt)
+                           for k, (shp, dt) in shapes.items()}
             else:
-                payload = {k: np.asarray(result[k], tdt[k])
-                           for k in shapes}
+                payload = {k: _encode_transport(result[k], shp, dt)
+                           for k, (shp, dt) in shapes.items()}
             out = self._broadcast(owner, payload)
-            return {k: out[k].astype(dt)
-                    for k, (_, dt) in shapes.items()}
+            return {k: _decode_transport(out[k], shp, dt)
+                    for k, (shp, dt) in shapes.items()}
         # device program
         _, owner, result, program, overrides, batch_size = handle
         if result is None:

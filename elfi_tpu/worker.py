@@ -12,9 +12,9 @@ import sys
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) != 1 or ":" not in argv[0]:
-        print("usage: python -m elfi_tpu.worker HOST:PORT", file=sys.stderr)
+        print("usage: python -m elfi_tpu.worker HOST:PORT/AUTHKEY",
+              file=sys.stderr)
         return 2
-    host, port = argv[0].rsplit(":", 1)
     # workers compute on host CPU; accelerators aren't shareable
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     # never load a foreign persistent compile cache (machine-feature
@@ -27,7 +27,7 @@ def main(argv=None):
     except Exception:
         pass
     from elfi_tpu.parallel.cluster import worker_main
-    worker_main((host, int(port)))
+    worker_main(argv[0])
     return 0
 
 

@@ -134,6 +134,47 @@ def test_maxvar_gradient_matches_numeric(fitted_bolfi):
                                    num.ravel() / scale, atol=0.05)
 
 
+def test_expintvar_gradient_matches_numeric(fitted_bolfi):
+    """ExpIntVar.evaluate_gradient (jax.grad of the traced lookahead
+    loss) vs central differences."""
+    from elfi_tpu.methods.bo.acquisition import ExpIntVar
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+    acq = ExpIntVar(gp, prior=prior, seed=0)
+    acq._refresh_state(t=1)
+    thetas = np.array([[0.4, 0.1], [-0.5, 0.3], [1.2, -0.6]])
+    grads = acq.evaluate_gradient(thetas)
+    assert grads.shape == (3, 2)
+    eps = 1e-3
+    for j in range(2):
+        shift = np.zeros(2)
+        shift[j] = eps
+        num = (acq.evaluate(thetas + shift) - acq.evaluate(thetas - shift)) \
+            / (2 * eps)
+        scale = np.maximum(np.abs(num.ravel()), 1e-7)
+        np.testing.assert_allclose(grads[:, j] / scale,
+                                   num.ravel() / scale, atol=0.05)
+
+
+def test_constrained_acquisitions(fitted_bolfi):
+    """MaxVar and ExpIntVar honor scipy-style constraints: acquired points
+    satisfy the constraint instead of it being silently ignored."""
+    from elfi_tpu.methods.bo.acquisition import ExpIntVar
+    bolfi, _ = fitted_bolfi
+    gp = bolfi.target_model
+    prior = ModelPrior(bolfi.model, parameter_names=gp.parameter_names)
+    # feasible region: t1 + t2 <= 0.5
+    con = {"type": "ineq", "fun": lambda x: 0.5 - x[0] - x[1]}
+    for acq in (MaxVar(gp, prior=prior, seed=0, constraints=(con,)),
+                ExpIntVar(gp, prior=prior, seed=0, constraints=(con,))):
+        pts = acq.acquire(2, t=1)
+        assert pts.shape == (2, 2)
+        assert np.all(pts.sum(axis=1) <= 0.5 + 1e-5)
+        for i, b in enumerate(gp.bounds):
+            assert np.all(pts[:, i] >= b[0]) and np.all(pts[:, i] <= b[1])
+
+
 def test_bayesian_optimization_result(ma2_log):
     bo = elfi.BayesianOptimization(ma2_log["log_d"], batch_size=1,
                                    initial_evidence=16,

@@ -15,13 +15,13 @@ pytestmark = pytest.mark.slow  # excluded from the fast CI gate
 
 
 def _spawn_worker(address):
+    # address is the master's handout string host:port/authkey-hex
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     return subprocess.Popen(
-        [sys.executable, "-m", "elfi_tpu.worker",
-         f"{address[0]}:{address[1]}"],
+        [sys.executable, "-m", "elfi_tpu.worker", address],
         cwd=root, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
@@ -78,6 +78,77 @@ def test_cluster_backend_elastic():
                 w.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 w.kill()
+
+
+def test_cluster_device_graph_ships_program_once():
+    """A device-path (JAX) graph farms to a worker with the program wired
+    once per (worker, program key): subsequent tasks reference it by key,
+    so the worker re-uses its cached jitted executable instead of
+    re-tracing per task."""
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+    from elfi_tpu.parallel.cluster import ClusterBackend
+
+    m = ma2.get_model(seed_obs=4)
+    backend = ClusterBackend()
+    prev = elfi.get_client()
+    worker = _spawn_worker(backend.address)
+    try:
+        deadline = time.monotonic() + 90
+        while not (backend._workers or backend._joined) \
+                and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert backend._workers or backend._joined, "no worker attached"
+        elfi.set_client(backend)
+        res = elfi.Rejection(m["d"], batch_size=100, seed=11).sample(
+            20, n_sim=1000, bar=False)      # 10 batches, 1 worker
+        assert backend.programs_shipped == 1
+        elfi.set_client("native")
+        ref = elfi.Rejection(m["d"], batch_size=100, seed=11).sample(
+            20, n_sim=1000, bar=False, fused=False)
+        np.testing.assert_array_equal(res.samples_array, ref.samples_array)
+    finally:
+        elfi.set_client(prev)
+        backend.close()
+        try:
+            worker.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+
+
+def test_cluster_authkey_is_random_and_required():
+    """Every master generates its own HMAC secret; a connection attempt
+    with the wrong key must not become a worker."""
+    from multiprocessing.connection import Client as ConnClient
+    from elfi_tpu.parallel.cluster import ClusterBackend, parse_address
+
+    b1, b2 = ClusterBackend(), ClusterBackend()
+    try:
+        assert b1._authkey != b2._authkey
+        addr, key = parse_address(b1.address)
+        assert key == b1._authkey
+        with pytest.raises(Exception):
+            c = ConnClient(addr, authkey=b"wrong-key-entirely")
+            c.close()
+        time.sleep(0.2)
+        b1._absorb_joined()
+        assert not b1._workers
+    finally:
+        b1.close()
+        b2.close()
+
+
+def test_cluster_is_ready_on_thunk():
+    """apply() task ids must be pollable (reference farms MCMC chains via
+    apply; is_ready used to crash on the thunk tuple)."""
+    from elfi_tpu.parallel.cluster import ClusterBackend
+    backend = ClusterBackend()
+    try:
+        tid = backend.apply(lambda x: x + 1, 1)
+        assert backend.is_ready(tid)
+        assert backend.get_result(tid) == 2
+    finally:
+        backend.close()
 
 
 def test_cluster_worker_death_reassigns():

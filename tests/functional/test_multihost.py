@@ -101,3 +101,20 @@ def test_two_process_multihost(tmp_path):
     ref = elfi.Rejection(m["d"], batch_size=200, seed=17).sample(
         20, n_sim=1000, bar=False, fused=False)
     np.testing.assert_array_equal(ref.samples_array, a)
+
+    # farmed float64 host-op results must be BIT-identical to a native
+    # single-process run: the DCN broadcast encodes 8-byte dtypes as
+    # uint32 pairs, so no precision is lost to x64-off canonicalization
+    def hostsim(t, batch_size=1, random_state=None, **kw):
+        return np.atleast_1d(t)[:, None] + random_state.normal(
+            size=(batch_size, 3))
+
+    mh = elfi.Model(name="farm_native")
+    p = elfi.Prior("uniform", 0, 1, model=mh, name="p")
+    elfi.Simulator(hostsim, p, observed=0.5 * np.ones(3), host=True,
+                   model=mh, name="sim")
+    elfi.Distance("euclidean", mh["sim"], model=mh, name="d")
+    nat = elfi.Rejection(mh["d"], batch_size=50, seed=23).sample(
+        10, n_sim=400, bar=False)
+    assert nat.samples_array.dtype == np.float64
+    np.testing.assert_array_equal(nat.samples_array, fa)

@@ -18,6 +18,12 @@ KEY = jax.random.key(7)
     (d.beta, (2.0, 5.0), ss.beta(2.0, 5.0)),
     (d.lognorm, (0.5, 0.0, 1.0), ss.lognorm(0.5, 0.0, 1.0)),
     (d.truncnorm, (-1.0, 2.0, 0.5, 1.5), ss.truncnorm(-1.0, 2.0, 0.5, 1.5)),
+    (d.t, (3.0, 0.5, 2.0), ss.t(3.0, 0.5, 2.0)),
+    (d.cauchy, (1.0, 2.0), ss.cauchy(1.0, 2.0)),
+    (d.laplace, (0.5, 1.5), ss.laplace(0.5, 1.5)),
+    (d.chi2, (4.0, 0.0, 1.5), ss.chi2(4.0, 0.0, 1.5)),
+    (d.skewnorm, (4.0, 0.5, 2.0), ss.skewnorm(4.0, 0.5, 2.0)),
+    (d.weibull_min, (1.8, 0.0, 2.0), ss.weibull_min(1.8, 0.0, 2.0)),
 ])
 def test_logpdf_matches_scipy(dist, params, ss_dist):
     x = np.asarray(ss_dist.rvs(size=50, random_state=np.random.RandomState(0)),
@@ -33,6 +39,11 @@ def test_logpdf_matches_scipy(dist, params, ss_dist):
     (d.expon, (0.0, 2.0), ss.expon(0.0, 2.0)),
     (d.gamma, (3.0, 0.0, 2.0), ss.gamma(3.0, 0.0, 2.0)),
     (d.truncnorm, (-1.0, 2.0, 0.5, 1.5), ss.truncnorm(-1.0, 2.0, 0.5, 1.5)),
+    (d.t, (5.0, 0.5, 2.0), ss.t(5.0, 0.5, 2.0)),
+    (d.laplace, (0.5, 1.5), ss.laplace(0.5, 1.5)),
+    (d.chi2, (4.0, 0.0, 1.5), ss.chi2(4.0, 0.0, 1.5)),
+    (d.skewnorm, (4.0, 0.5, 2.0), ss.skewnorm(4.0, 0.5, 2.0)),
+    (d.weibull_min, (1.8, 0.0, 2.0), ss.weibull_min(1.8, 0.0, 2.0)),
 ])
 def test_rvs_moments(dist, params, ss_dist):
     x = np.asarray(dist.rvs(*params, size=20000, key=KEY))
@@ -107,6 +118,15 @@ def test_cdf_ppf_match_scipy():
         (d.gamma.cdf(x, 2.5, 0, 1.5), ss.gamma.cdf(x, 2.5, 0, 1.5)),
         (d.beta.cdf(np.linspace(-.2, 1.2, 15), 2, 3),
          ss.beta.cdf(np.linspace(-.2, 1.2, 15), 2, 3)),
+        (d.cauchy.cdf(x, 1, 2), ss.cauchy.cdf(x, 1, 2)),
+        (d.cauchy.ppf(q, 1, 2), ss.cauchy.ppf(q, 1, 2)),
+        (d.laplace.cdf(x, 0.5, 1.5), ss.laplace.cdf(x, 0.5, 1.5)),
+        (d.laplace.ppf(q, 0.5, 1.5), ss.laplace.ppf(q, 0.5, 1.5)),
+        (d.t.cdf(x, 3, 0.5, 2), ss.t.cdf(x, 3, 0.5, 2)),
+        (d.chi2.cdf(x, 4, 0, 1.5), ss.chi2.cdf(x, 4, 0, 1.5)),
+        (d.skewnorm.cdf(x, 4, 0.5, 2), ss.skewnorm.cdf(x, 4, 0.5, 2)),
+        (d.weibull_min.cdf(x, 1.8, 0, 2), ss.weibull_min.cdf(x, 1.8, 0, 2)),
+        (d.weibull_min.ppf(q, 1.8, 0, 2), ss.weibull_min.ppf(q, 1.8, 0, 2)),
     ]
     for got, want in cases:
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
@@ -127,6 +147,11 @@ def test_gamma_beta_ppf_match_scipy():
         np.testing.assert_allclose(
             np.asarray(d.beta.ppf(q, a, b, -1.0, 3.0)),
             ss.beta.ppf(q, a, b, -1.0, 3.0), rtol=2e-4, atol=2e-5)
+    qmid = np.array([0.05, 0.25, 0.5, 0.9, 0.99], dtype=np.float32)
+    for df in [2.0, 7.0]:
+        np.testing.assert_allclose(
+            np.asarray(d.t.ppf(qmid, df, 0.5, 2.0)),
+            ss.t.ppf(qmid, df, 0.5, 2.0), rtol=5e-4, atol=1e-4)
 
 
 def test_ppf_nan_outside_unit_interval():
@@ -135,6 +160,8 @@ def test_ppf_nan_outside_unit_interval():
     bad = np.array([-0.1, 1.1], dtype=np.float32)
     for dist, args in [(d.uniform, ()), (d.expon, ()), (d.gamma, (2.0,)),
                        (d.beta, (2.0, 3.0)), (d.truncnorm, (-1.0, 1.0)),
-                       (d.norm, ()), (d.lognorm, (0.5,))]:
+                       (d.norm, ()), (d.lognorm, (0.5,)), (d.cauchy, ()),
+                       (d.laplace, ()), (d.t, (3.0,)),
+                       (d.weibull_min, (1.8,))]:
         out = np.asarray(dist.ppf(bad, *args))
         assert np.all(np.isnan(out)), (dist.name, out)

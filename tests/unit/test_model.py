@@ -1,3 +1,6 @@
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -122,3 +125,19 @@ def test_default_model_registry():
     assert elfi.get_default_model() is m
     p = elfi.Prior("uniform", 0, 1, name="p")
     assert p.model is m
+
+
+def test_import_does_not_initialize_jax_backend():
+    """Importing the package must not initialise any JAX backend: cluster
+    workers (`python -m elfi_tpu.worker`) import elfi_tpu BEFORE they can
+    force the CPU platform, and an import-time init would hand every
+    worker the registered accelerator plugin (observed: axon TPU grabbed
+    by module-level jnp constants in ops/special.py)."""
+    code = ("import jax._src.xla_bridge as xb\n"
+            "import elfi_tpu\n"
+            "assert not xb._backends, list(xb._backends)\n"
+            "print('LAZY_OK')\n")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0 and "LAZY_OK" in out.stdout, \
+        out.stdout + out.stderr
