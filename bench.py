@@ -242,6 +242,23 @@ def main():
                           and abs(ma2_t2 - 0.2) < 0.05),
                "generating_params": [0.6, 0.2], "tolerance": 0.05}
 
+    # sharded path on a 1-device mesh: the fused sharded rejection must
+    # add ~zero overhead vs the native path (multi-chip evidence within a
+    # single-chip box — the 8-device correctness runs live on the CPU mesh
+    # in tests/functional/test_multichip_scaling.py)
+    sharded = elfi.ShardedBackend(devices=jax.devices()[:1])
+    prev_client = elfi.get_client()
+    elfi.set_client(sharded)
+    elfi.Rejection(m["d"], batch_size=batch_size, seed=0).sample(
+        n_samples, n_sim=n_sim, bar=False)      # warmup/compile
+    t_sh = time.perf_counter()
+    res_sh = elfi.Rejection(m["d"], batch_size=batch_size, seed=1).sample(
+        n_samples, n_sim=n_sim, bar=False)
+    wall_sharded = time.perf_counter() - t_sh
+    elfi.set_client(prev_client)
+    sh_t1 = float(np.mean(res_sh.samples["t1"]))
+    sh_t2 = float(np.mean(res_sh.samples["t2"]))
+
     # variant with the fused Pallas sim+summaries+distance kernel (its own
     # RNG streams; the posterior must still match)
     elfi.Rejection(mp["d"], batch_size=batch_size, seed=0).sample(
@@ -270,6 +287,9 @@ def main():
             "accuracy_ok": bool(all(a["ok"] for a in accuracy.values())),
             "accuracy": accuracy,
             "xla_path_sims_per_s": round(n_sim / wall, 1),
+            "sharded_mesh1_sims_per_s": round(n_sim / wall_sharded, 1),
+            "sharded_mesh1_posterior_means": [round(sh_t1, 4),
+                                              round(sh_t2, 4)],
             "pallas_kernel_sims_per_s": round(n_sim / wall_pallas, 1),
             "pallas_posterior_means": [round(p_t1, 4), round(p_t2, 4)],
             "bolfi_ricker_total_s": bolfi_s,

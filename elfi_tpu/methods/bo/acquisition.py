@@ -171,22 +171,26 @@ class LCBSC(AcquisitionBase):
         if factor is None:
             return None
         Xp, mask, L, alpha, params = factor
+        # cached-inverse predict: the traced acquisition runs a 150-step
+        # Adam per restart; a matvec per step beats a sequential
+        # triangular solve (see GPFns.posterior_inverse)
+        Kinv = self.model.fns.posterior_inverse(L, mask)
         beta = jnp.float32(self._beta(t))
-        neg_lcb = self.model.fns.neg_lcb_obj
+        neg_lcb = self.model.fns.neg_lcb_obj_inv
         if self.additive_cost is None:
-            return neg_lcb, (Xp, mask, L, alpha, params, beta)
+            return neg_lcb, (Xp, mask, Kinv, alpha, params, beta)
         cost_tr = getattr(self.additive_cost, "traceable", None)
         if cost_tr is None:
             return None
         if getattr(self, "_combined_obj", None) is None:
             scale = self.additive_cost.scale
 
-            def combined(theta, X, m, Lf, a, p, b):
-                return neg_lcb(theta, X, m, Lf, a, p, b) \
+            def combined(theta, X, m, Ki, a, p, b):
+                return neg_lcb(theta, X, m, Ki, a, p, b) \
                     + scale * cost_tr(theta)
 
             self._combined_obj = combined
-        return self._combined_obj, (Xp, mask, L, alpha, params, beta)
+        return self._combined_obj, (Xp, mask, Kinv, alpha, params, beta)
 
 
 def _indicator_moments(eps, mean, var, noise):
@@ -228,15 +232,18 @@ class MaxVar(AcquisitionBase):
     def _build_fns(self):
         """Traceable objective family, built once per instance.  Per-call
         data (GP factorisation, eps) flows through positional args so GP
-        refits reuse the compiled programs."""
+        refits reuse the compiled programs.  Predictions go through the
+        cached-inverse path: these objectives sit inside device Adam /
+        NUTS loops where a sequential triangular solve per evaluation is
+        latency-bound (see GPFns.posterior_inverse)."""
         if self._fns is not None:
             return self._fns
         prior_logpdf = self.prior.traceable_logpdf()
-        predict_noiseless = self.model.fns.predict_noiseless
+        predict_noiseless = self.model.fns.predict_noiseless_inv
 
-        def log_value(theta, Xp, mask, L, alpha, params, eps):
-            mean, var = predict_noiseless(theta[None], Xp, mask, L, alpha,
-                                          params)
+        def log_value(theta, Xp, mask, Kinv, alpha, params, eps):
+            mean, var = predict_noiseless(theta[None], Xp, mask, Kinv,
+                                          alpha, params)
             first, second = _indicator_moments(eps, mean[0], var[0],
                                                params["noise"])
             var_p = jnp.maximum(second - first ** 2, 1e-32)
@@ -261,7 +268,8 @@ class MaxVar(AcquisitionBase):
         if self.model._factor is None:
             raise ValueError("GP has no evidence yet")
         Xp, mask, L, alpha, params = self.model._factor
-        return (Xp, mask, L, alpha, params, jnp.float32(self.eps))
+        Kinv = self.model.fns.posterior_inverse(L, mask)
+        return (Xp, mask, Kinv, alpha, params, jnp.float32(self.eps))
 
     def _update_eps(self):
         # gp.Y is host-resident; quantile of the evidence targets
@@ -386,11 +394,11 @@ _LOOKAHEAD_CACHE = {}
 
 def _lookahead_state_fn(fns):
     """Per-round precompute for ExpIntVar, one device dispatch: posterior
-    moments at the integration nodes, the whitened training/integration
-    cross term ``L^-1 k(X, P)`` that turns each candidate's lookahead
-    covariance into a single triangular solve, and the current indicator
-    mean Phi at every node.  Built per GP-kernel bundle so custom kernels
-    flow through."""
+    moments at the integration nodes, the ``K^-1 k(X, P)`` cross term
+    that turns each candidate's lookahead covariance into a single
+    matvec (cached-inverse path — no per-candidate triangular solve),
+    and the current indicator mean Phi at every node.  Built per
+    GP-kernel bundle so custom kernels flow through."""
     # keyed by id(fns) but keeping a strong reference to fns: the bundle
     # stays alive while cached, so the id can never be reused for a
     # different kernel's bundle (same staleness class as the
@@ -399,13 +407,13 @@ def _lookahead_state_fn(fns):
     if cached is not None and cached[0] is fns:
         return cached[1]
 
-    def state(Xp, mask, L, alpha, params, eps, points):
-        mean_p, var_p = fns.predict_noiseless(points, Xp, mask, L, alpha,
-                                              params)
+    def state(Xp, mask, Kinv, alpha, params, eps, points):
+        mean_p, var_p = fns.predict_noiseless_inv(points, Xp, mask, Kinv,
+                                                  alpha, params)
         kxp = fns.cross_cov(Xp, points, params) * mask[:, None]
-        whitened = jax.scipy.linalg.solve_triangular(L, kxp, lower=True)
+        kinv_kxp = Kinv @ kxp
         phi_p, _ = _indicator_moments(eps, mean_p, var_p, params["noise"])
-        return mean_p, var_p, whitened, phi_p
+        return mean_p, var_p, kinv_kxp, phi_p
 
     jitted = jax.jit(state)
     _LOOKAHEAD_CACHE[id(fns)] = (fns, jitted)
@@ -457,15 +465,14 @@ class ExpIntVar(MaxVar):
         prior_logpdf = self.prior.traceable_logpdf()
         cross_cov = self.model.fns.cross_cov
 
-        def loss_one(theta, Xp, mask, L, alpha, params, eps,
-                     points, mean_p, var_p, whitened, phi_p, weights):
+        def loss_one(theta, Xp, mask, Kinv, alpha, params, eps,
+                     points, mean_p, var_p, kinv_kxp, phi_p, weights):
             # lookahead variance reduction at every integration node from
-            # one observation at theta
+            # one observation at theta — all matvecs on the cached K^-1
             kxt = cross_cov(theta[None], Xp, params)[0] * mask
-            v = jax.scipy.linalg.solve_triangular(L, kxt, lower=True)
             prior_var = cross_cov(theta[None], theta[None], params)[0, 0]
-            var_new = jnp.maximum(prior_var - v @ v, 1e-10)
-            cov = cross_cov(theta[None], points, params)[0] - whitened.T @ v
+            var_new = jnp.maximum(prior_var - kxt @ (Kinv @ kxt), 1e-10)
+            cov = cross_cov(theta[None], points, params)[0] - kxt @ kinv_kxp
             shrink = cov ** 2 / (params["noise"] + var_new)
             total = params["noise"] + var_p
             shape = jnp.sqrt(jnp.maximum(total - shrink, 0.0)

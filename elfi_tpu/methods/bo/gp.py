@@ -155,6 +155,37 @@ class GPFns:
             mu, var = predict(x, X, mask, L, alpha, params)
             return mu, jnp.maximum(var - params["noise"], 1e-10)
 
+        def posterior_inverse(L, mask):
+            """Masked K^-1 from the Cholesky factor — the Woodbury-style
+            cached inverse (GPy caches the same thing for its fast predict
+            path, reference ``gpy_regression.py:151-160``).  A triangular
+            SOLVE has an O(cap)-deep sequential dependency per evaluation
+            — latency death inside fused Adam/NUTS loops on TPU; with the
+            inverse each predict is one parallel matvec.  The padding
+            block of K is identity, so masking the inverse is exact."""
+            n = L.shape[0]
+            Kinv = jax.scipy.linalg.cho_solve(
+                (L, True), jnp.eye(n, dtype=L.dtype))
+            return Kinv * (mask[:, None] * mask[None, :])
+
+        def predict_inv(x, X, mask, Kinv, alpha, params):
+            kx = kernel(x, X, params) * mask[None, :]
+            mu = kx @ alpha
+            var = (prior_var_diag(x, params)
+                   - jnp.sum((kx @ Kinv) * kx, axis=1) + params["noise"])
+            return mu, jnp.maximum(var, 1e-10)
+
+        def predict_noiseless_inv(x, X, mask, Kinv, alpha, params):
+            mu, var = predict_inv(x, X, mask, Kinv, alpha, params)
+            return mu, jnp.maximum(var - params["noise"], 1e-10)
+
+        def neg_lcb_obj_inv(theta, X, mask, Kinv, alpha, params, beta):
+            """LCB objective on the cached-inverse predict: matvec per
+            evaluation instead of a sequential triangular solve."""
+            mu, var = predict_noiseless_inv(theta[None], X, mask, Kinv,
+                                            alpha, params)
+            return mu[0] - jnp.sqrt(beta * var[0])
+
         def _grad_fn(pred):
             def single(xi, X, mask, L, alpha, params):
                 mu, var = pred(xi[None], X, mask, L, alpha, params)
@@ -205,6 +236,11 @@ class GPFns:
 
         self.kernel_mats = jax.jit(kernel_mats)
         self.posterior_factor = jax.jit(posterior_factor)
+        self.posterior_inverse = jax.jit(posterior_inverse)
+        self.predict_inv = jax.jit(predict_inv)
+        self.predict_noiseless_inv = jax.jit(predict_noiseless_inv)
+        self.neg_lcb_obj_inv = neg_lcb_obj_inv
+        self._posterior_inverse_raw = posterior_inverse
         self.neg_log_posterior = neg_log_posterior
         self.neg_log_posterior_grad = jax.jit(
             jax.value_and_grad(neg_log_posterior))
@@ -244,6 +280,8 @@ _grads_noisy = _DEFAULT_FNS.grads_noisy
 _grads_noiseless = _DEFAULT_FNS.grads_noiseless
 gp_mean_obj = _DEFAULT_FNS.mean_obj
 gp_neg_lcb_obj = _DEFAULT_FNS.neg_lcb_obj
+gp_neg_lcb_obj_inv = _DEFAULT_FNS.neg_lcb_obj_inv
+_posterior_inverse = _DEFAULT_FNS._posterior_inverse_raw
 optimize_restarts_core = _DEFAULT_FNS.optimize_restarts_core
 _optimize_restarts = _DEFAULT_FNS.optimize_restarts
 
@@ -521,12 +559,27 @@ class GPRegression:
         return self.predictive_gradients(x)[0]
 
     # -- device-side closures for fused samplers ---------------------------------------
-    def device_predict(self, noiseless=False):
+    def device_predict(self, noiseless=False, use_inverse=False):
         """Return a traceable ``x (n,d) -> (mu, var)`` closing over the
-        current factorisation — for embedding in jitted NUTS/acquisition."""
+        current factorisation — for embedding in jitted NUTS/acquisition.
+
+        ``use_inverse=True`` precomputes the masked K^-1 once (one extra
+        O(cap^3) MXU pass here) so every embedded evaluation is a parallel
+        matvec instead of a sequential triangular solve — the right trade
+        whenever the closure sits inside a long device loop (NUTS
+        leapfrogs, fused Adam descents)."""
         if self._factor is None:
             raise ValueError("GP has no evidence yet")
         Xp, mask, L, alpha, params = self._factor
+        if use_inverse:
+            Kinv = self.fns.posterior_inverse(L, mask)
+            fn = self.fns.predict_noiseless_inv if noiseless \
+                else self.fns.predict_inv
+
+            def pred(x):
+                return fn(x, Xp, mask, Kinv, alpha, params)
+
+            return pred
         fn = self.fns.predict_noiseless if noiseless else self.fns.predict
 
         def pred(x):

@@ -261,8 +261,8 @@ class BOLFI(BayesianOptimization):
         import jax
         import jax.numpy as jnp
         from ..compile.compiler import compile_program
-        from .bo.gp import (_pad_cap, _posterior_factor, gp_neg_lcb_obj,
-                            optimize_restarts_core)
+        from .bo.gp import (_pad_cap, _posterior_factor, _posterior_inverse,
+                            gp_neg_lcb_obj_inv, optimize_restarts_core)
         from .bo.utils import adam_minimize
 
         gp = self.target_model
@@ -323,7 +323,21 @@ class BOLFI(BayesianOptimization):
 
         master = jax.random.key(self.seed)
 
-        def run(master):
+        # The BO loop is SEGMENTED at refit boundaries into three small
+        # programs (init / acquisition segment / refit) instead of one
+        # giant scan with a refit cond inside — small compiles that hit
+        # the persistent cache (the monolithic variant's remote compile
+        # ran past 10 minutes), at ~2 dispatches per segment.  Each scan
+        # step computes the masked K^-1 once (one cho_solve) so the
+        # 150-step acquisition Adam descent below does a parallel matvec
+        # per evaluation instead of a sequential cap-deep triangular
+        # solve.  (A Sherman-Morrison rank-1-carried K^-1 was measured
+        # 2026-08-17 and REJECTED: on BO-clustered evidence the float32
+        # bordering update drifts 5-15% within one 20-step refit window
+        # — enough to corrupt the LCB variance and derail acquisition;
+        # the Ricker t3 posterior landed 5 SD off.)
+
+        def init_run(master):
             out = init_fn(master, jnp.uint32(0), {})
             y0 = out[target_name].reshape(-1).astype(jnp.float32)
             X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
@@ -338,13 +352,18 @@ class BOLFI(BayesianOptimization):
             u0, _ = optimize_restarts_core(
                 starts0.at[0].set(u0), Xp, yp, mask0, shapes,
                 jnp.float32(0.1), const_params={"scales": gp_scales})
+            return Xp, yp, u0, shapes
+
+        def segment_run(master, Xc, yc, u, n, ts, betas_seg):
+            rkey = jax.random.fold_in(master, 0x5EED)
+            params = u_to_params(u)
 
             def step(carry, inp):
-                Xc, yc, u, n = carry
-                t, beta, do_refit = inp
-                params = u_to_params(u)
+                Xc, yc, n = carry
+                t, beta = inp
                 mask = (jnp.arange(cap) < n).astype(jnp.float32)
                 L, alpha = _posterior_factor(Xc, yc, mask, params)
+                Kinv = _posterior_inverse(L, mask)
                 kacq = jax.random.fold_in(rkey, 1000 + t)
                 starts = lo + (hi - lo) * jax.random.uniform(
                     kacq, (n_inits_acq, d))
@@ -352,8 +371,8 @@ class BOLFI(BayesianOptimization):
 
                 def one(x0):
                     return adam_minimize(
-                        lambda th: gp_neg_lcb_obj(th, Xc, mask, L, alpha,
-                                                  params, beta),
+                        lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
+                                                      alpha, params, beta),
                         x0, 150, lr, lo, hi)
 
                 xs, fs = jax.vmap(one)(starts)
@@ -366,35 +385,52 @@ class BOLFI(BayesianOptimization):
                     b = (hi - theta) / noise_std
                     theta = _tn.rvs(a, b, loc=theta, scale=noise_std,
                                     size=(d,), key=knoise)
-                overrides = {p: theta[i][None] for i, p in enumerate(pnames)}
+                overrides = {p: theta[i][None]
+                             for i, p in enumerate(pnames)}
                 y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
                                overrides)[target_name].reshape(())
                 Xc = Xc.at[n].set(theta)
                 yc = yc.at[n].set(y_new)
-                n = n + 1
-                mask = (jnp.arange(cap) < n).astype(jnp.float32)
+                return (Xc, yc, n + 1), None
 
-                def do_opt(u):
-                    st = u + 0.5 * jax.random.normal(
-                        jax.random.fold_in(rkey, 3000 + t),
-                        (n_restarts, 4))
-                    u_new, _ = optimize_restarts_core(
-                        st.at[0].set(u), Xc, yc, mask, shapes,
-                        jnp.float32(0.1),
-                        const_params={"scales": gp_scales})
-                    return u_new
+            (Xc, yc, n), _ = jax.lax.scan(
+                step, (Xc, yc, n), (ts, betas_seg))
+            return Xc, yc, n
 
-                u = jax.lax.cond(do_refit, do_opt, lambda uu: uu, u)
-                return (Xc, yc, u, n), None
+        def refit_run(master, Xc, yc, u, shapes, n, t):
+            rkey = jax.random.fold_in(master, 0x5EED)
+            mask = (jnp.arange(cap) < n).astype(jnp.float32)
+            st = u + 0.5 * jax.random.normal(
+                jax.random.fold_in(rkey, 3000 + t), (n_restarts, 4))
+            u_new, _ = optimize_restarts_core(
+                st.at[0].set(u), Xc, yc, mask, shapes, jnp.float32(0.1),
+                const_params={"scales": gp_scales})
+            return u_new
 
-            xs = (jnp.arange(n_acq, dtype=jnp.int32), betas[:n_acq],
-                  refit[:n_acq])
-            (Xf, yf, uf, nf), _ = jax.lax.scan(
-                step, (Xp, yp, u0, jnp.int32(n_init)), xs)
-            return Xf, yf, uf
+        init_jit = jax.jit(init_run)
+        segment_jit = jax.jit(segment_run)
+        refit_jit = jax.jit(refit_run)
 
-        Xf, yf, uf = jax.jit(run)(master)
-        Xf, yf, uf = jax.device_get((Xf, yf, uf))
+        # static segment boundaries from the refit schedule
+        refit_np = np.asarray(refit)
+        segments, start = [], 0
+        for t in range(n_acq):
+            if refit_np[t]:
+                segments.append((start, t + 1 - start, True))
+                start = t + 1
+        if start < n_acq:
+            segments.append((start, n_acq - start, False))
+
+        Xc, yc, u, shapes = init_jit(master)
+        n = jnp.int32(n_init)
+        for seg_start, seg_len, do_refit in segments:
+            ts = jnp.arange(seg_start, seg_start + seg_len, dtype=jnp.int32)
+            Xc, yc, n = segment_jit(master, Xc, yc, u, n, ts,
+                                    betas[seg_start:seg_start + seg_len])
+            if do_refit:
+                u = refit_jit(master, Xc, yc, u, shapes, n,
+                              jnp.int32(seg_start + seg_len - 1))
+        Xf, yf, uf = jax.device_get((Xc, yc, u))
 
         # install the fused result into the GP / inference state
         gp._x = np.asarray(Xf[:n_total], np.float64)

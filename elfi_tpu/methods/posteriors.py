@@ -53,7 +53,10 @@ class BolfiPosterior:
 
     # -- traceable target ------------------------------------------------------
     def traceable_logpdf(self):
-        pred = self.model.device_predict(noiseless=False)
+        # cached-inverse predict: NUTS runs thousands of sequential
+        # leapfrog evaluations of this closure — a triangular solve per
+        # evaluation is latency-bound on TPU, a matvec is not
+        pred = self.model.device_predict(noiseless=False, use_inverse=True)
         h = jnp.float32(self.threshold)
         prior_logpdf = self.prior.traceable_logpdf() \
             if self.prior is not None else None

@@ -133,3 +133,25 @@ def test_bolfi_custom_kernel_end_to_end():
     assert bolfi.target_model.custom_kernel
     assert np.isfinite(post.threshold)
     assert np.isfinite(float(post.logpdf(np.array([0.5, 0.1]))))
+
+
+def test_gp_inverse_predict_matches_solve(fitted_gp):
+    """The cached-inverse predict path (one matvec per evaluation, used
+    inside fused Adam/NUTS loops) must agree with the triangular-solve
+    path to float32 tolerance."""
+    import jax.numpy as jnp
+    xs = np.linspace(-2, 2, 31)[:, None].astype(np.float32)
+    for noiseless in (False, True):
+        solve_pred = fitted_gp.device_predict(noiseless=noiseless)
+        inv_pred = fitted_gp.device_predict(noiseless=noiseless,
+                                            use_inverse=True)
+        mu_s, var_s = solve_pred(jnp.asarray(xs))
+        mu_i, var_i = inv_pred(jnp.asarray(xs))
+        np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_s),
+                                   rtol=1e-4, atol=1e-4)
+        # the quadratic form kx @ Kinv @ kx cancels harder in float32 than
+        # |L^-1 kx|^2 — a few % of relative variance error is the price of
+        # the latency win (GPy's cached Woodbury path makes the same trade)
+        np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_s),
+                                   rtol=5e-2, atol=1e-3)
+        assert np.all(np.asarray(var_i) > 0)
