@@ -474,6 +474,7 @@ class RomcPosterior:
         self._keys = keys          # stacked frozen keys, one per region
         self._local_coeffs = None if local_coeffs is None else \
             jnp.asarray(np.stack(local_coeffs))
+        self._jit_cache = {}       # compiled count/sample programs
 
     # -- vectorised objective over regions ------------------------------------
     def _distances_traceable(self, theta):
@@ -485,16 +486,17 @@ class RomcPosterior:
 
     def _indicator_counts(self, thetas):
         """(n, D) -> number of regions accepting each point."""
-        eps = jnp.float32(self.eps_cutoff)
+        count = self._jit_cache.get("count")
+        if count is None:
+            def count(ts, eps):
+                def one(t):
+                    d = self._distances_traceable(t)
+                    return jnp.sum(d <= eps)
+                return jax.vmap(one)(ts)
 
-        @jax.jit
-        def count(ts):
-            def one(t):
-                d = self._distances_traceable(t)
-                return jnp.sum(d <= eps)
-            return jax.vmap(one)(ts)
-
-        return np.asarray(count(jnp.asarray(thetas, jnp.float32)))
+            count = self._jit_cache["count"] = jax.jit(count)
+        return np.asarray(count(jnp.asarray(thetas, jnp.float32),
+                                jnp.float32(self.eps_cutoff)))
 
     # -- pdf -----------------------------------------------------------------------
     def pdf_unnorm_batched(self, theta):
@@ -546,23 +548,35 @@ class RomcPosterior:
                            jnp.float32)
         vols = jnp.asarray([r.volume for r in self.regions], jnp.float32)
 
-        u = jax.random.uniform(key, (R, n2, self.dim))
-        box = lims[:, None, :, 0] + u * (lims[:, None, :, 1]
-                                         - lims[:, None, :, 0])
-        thetas = jnp.einsum("rij,rnj->rni", rot, box) + center[:, None, :]
+        # ONE compiled program (cached on the posterior) draws the box
+        # points and evaluates every region objective — eager vmaps here
+        # would dispatch the whole simulator op-by-op over a ~30 ms
+        # tunnel per primitive
+        draw = self._jit_cache.get(("sample", n2, R))
+        if draw is None:
+            def draw(key, rot, center, lims, keys):
+                u = jax.random.uniform(key, (R, n2, self.dim))
+                box = lims[:, None, :, 0] + u * (lims[:, None, :, 1]
+                                                 - lims[:, None, :, 0])
+                thetas = jnp.einsum("rij,rnj->rni", rot, box) \
+                    + center[:, None, :]
+                if self._local_coeffs is not None:
+                    def dist_one(r_idx, t):
+                        feats = _quad_features(t[None])[0]
+                        return self._local_coeffs[r_idx] @ feats
+                    dists = jax.vmap(lambda r_idx, ts: jax.vmap(
+                        lambda t: dist_one(r_idx, t))(ts))(
+                            jnp.arange(R), thetas)
+                else:
+                    dists = jax.vmap(lambda k, ts: jax.vmap(
+                        lambda t: self._tr_obj(t, k))(ts))(keys, thetas)
+                return thetas, dists
+
+            draw = self._jit_cache[("sample", n2, R)] = jax.jit(draw)
+
+        thetas, dists = draw(key, rot, center, lims, self._keys)
 
         eps = jnp.float32(self.eps_cutoff)
-
-        if self._local_coeffs is not None:
-            def dist_one(r_idx, t):
-                feats = _quad_features(t[None])[0]
-                return self._local_coeffs[r_idx] @ feats
-            dists = jax.vmap(lambda r_idx, ts: jax.vmap(
-                lambda t: dist_one(r_idx, t))(ts))(jnp.arange(R), thetas)
-        else:
-            dists = jax.vmap(lambda k, ts: jax.vmap(
-                lambda t: self._tr_obj(t, k))(ts))(self._keys, thetas)
-
         flat = thetas.reshape(-1, self.dim)
         pr = jnp.asarray(self.prior.pdf(np.asarray(flat))).reshape(R, n2)
         ind = (dists < eps).astype(jnp.float32)
