@@ -56,6 +56,18 @@ res2 = elfi.Rejection(mh["d"], batch_size=50, seed=23).sample(
 # 1 discovery batch on every host + 7 remaining farmed round-robin
 assert 1 + 3 <= CALLS["n"] <= 1 + 4, CALLS["n"]
 np.save(sys.argv[3].replace(".npy", "_farm.npy"), res2.samples_array)
+
+# raw-batch float64 transport check: batch 0 is the shape-discovery
+# round (computed everywhere), batches 1/2 are farmed one way each —
+# the broadcast must deliver the float64 sim outputs bit-exactly
+rejb = elfi.Rejection(mh["d"], batch_size=50, seed=29,
+                      output_names=["sim"])
+rejb.set_objective(10, n_sim=400)
+for i in range(3):
+    rejb.batches.submit(rejb.prepare_new_batch(i))
+raw = [rejb.batches.wait_next()[0]["sim"] for _ in range(3)]
+assert all(r.dtype == np.float64 for r in raw), [r.dtype for r in raw]
+np.save(sys.argv[3].replace(".npy", "_farm_sim.npy"), np.stack(raw))
 print("WORKER_OK")
 """
 
@@ -116,5 +128,19 @@ def test_two_process_multihost(tmp_path):
     elfi.Distance("euclidean", mh["sim"], model=mh, name="d")
     nat = elfi.Rejection(mh["d"], batch_size=50, seed=23).sample(
         10, n_sim=400, bar=False)
-    assert nat.samples_array.dtype == np.float64
     np.testing.assert_array_equal(nat.samples_array, fa)
+
+    # raw-batch float64 transport: both hosts' farmed batches must be
+    # BIT-identical to native computation (uint32-pair DCN encoding —
+    # x64-off canonicalization would corrupt the low mantissa bits)
+    rejb = elfi.Rejection(mh["d"], batch_size=50, seed=29,
+                      output_names=["sim"])
+    rejb.set_objective(10, n_sim=400)
+    for i in range(3):
+        rejb.batches.submit(rejb.prepare_new_batch(i))
+    nat_raw = np.stack([rejb.batches.wait_next()[0]["sim"]
+                        for _ in range(3)])
+    assert nat_raw.dtype == np.float64
+    for out in outs:
+        farm_raw = np.load(out.replace(".npy", "_farm_sim.npy"))
+        np.testing.assert_array_equal(nat_raw, farm_raw)
