@@ -498,6 +498,15 @@ class RomcPosterior:
         return np.asarray(count(jnp.asarray(thetas, jnp.float32),
                                 jnp.float32(self.eps_cutoff)))
 
+    def _all_distances(self, thetas):
+        """(n, D) -> (n, R) distances under every region objective, one
+        compiled program (cached)."""
+        fn = self._jit_cache.get("dists")
+        if fn is None:
+            fn = self._jit_cache["dists"] = jax.jit(
+                jax.vmap(self._distances_traceable))
+        return np.asarray(fn(jnp.asarray(thetas, jnp.float32)))
+
     # -- pdf -----------------------------------------------------------------------
     def pdf_unnorm_batched(self, theta):
         theta = np.atleast_2d(np.asarray(theta, np.float32))
@@ -506,8 +515,7 @@ class RomcPosterior:
         if self.surrogate_used:
             inside = np.array([[r.contains(t) for r in self.regions]
                                for t in theta])
-            d = np.stack([np.asarray(self._distances_traceable(
-                jnp.asarray(t, jnp.float32))) for t in theta])
+            d = self._all_distances(theta)
             counts = np.sum(inside & (d <= self.eps_cutoff), axis=1)
         return pr * counts
 
