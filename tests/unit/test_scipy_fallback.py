@@ -133,6 +133,25 @@ def test_prior_t_is_device_native_now():
     assert jnp.isfinite(jnp.asarray(res.samples_array)).all()
 
 
+def test_smc_with_scipy_host_prior():
+    """Host-path scipy priors flow through the full SMC machinery too
+    (ModelPrior rvs/logpdf, GM proposals, weighting)."""
+    m = elfi.Model(name="scipy_smc")
+    elfi.Prior("gumbel_r", 0.5, 0.3, model=m, name="p")
+
+    def sim(t, batch_size=1, random_state=None, **kw):
+        return np.atleast_1d(t)[:, None] + 0.1 * random_state.normal(
+            size=(batch_size, 2))
+
+    elfi.Simulator(sim, m["p"], observed=np.array([0.8, 0.8]), host=True,
+                   model=m, name="sim")
+    elfi.Distance("euclidean", m["sim"], model=m, name="dist")
+    res = elfi.SMC(m["dist"], batch_size=200, seed=3).sample(
+        100, thresholds=[0.5, 0.3, 0.2], bar=False)
+    assert res.n_samples == 100
+    assert abs(float(np.mean(res.samples["p"])) - 0.8) < 0.3
+
+
 def test_model_prior_with_host_distribution():
     m = elfi.Model(name="host_prior_model")
     elfi.Prior(ss.gumbel_r(0.0, 1.0), model=m, name="a")
