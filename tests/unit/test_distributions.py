@@ -165,3 +165,37 @@ def test_ppf_nan_outside_unit_interval():
                        (d.weibull_min, (1.8,))]:
         out = np.asarray(dist.ppf(bad, *args))
         assert np.all(np.isnan(out)), (dist.name, out)
+
+
+@pytest.mark.parametrize("dist,params", [
+    (d.uniform, (1.0, 3.0)), (d.norm, (2.0, 0.5)),
+    (d.expon, (0.0, 2.0)), (d.gamma, (3.0, 0.0, 2.0)),
+    (d.beta, (2.0, 5.0)), (d.lognorm, (0.5, 0.0, 1.0)),
+    (d.truncnorm, (-1.0, 2.0, 0.5, 1.5)), (d.t, (3.0,)),
+    (d.cauchy, ()), (d.laplace, ()), (d.chi2, (4.0,)),
+    (d.skewnorm, (4.0,)), (d.weibull_min, (1.8,)),
+    (d.binom, (10, 0.3)), (d.poisson, (2.5,)),
+    (d.levy_stable, (1.7, 0.5)),
+])
+def test_distribution_contract(dist, params):
+    """Reference conftest's distribution_test parity
+    (``/root/reference/tests/conftest.py:242-308``): rvs/pdf/logpdf obey
+    scipy shape conventions, including tuple sizes and batched params."""
+    x = np.asarray(dist.rvs(*params, size=7, key=KEY))
+    assert x.shape == (7,)
+    x2 = np.asarray(dist.rvs(*params, size=(7,), key=KEY))
+    assert x2.shape == (7,)
+    np.testing.assert_array_equal(x, x2)
+    if hasattr(dist, "logpdf") and dist is not d.levy_stable:
+        lp = np.asarray(dist.logpdf(x, *params))
+        assert lp.shape == x.shape
+        pdf = np.asarray(dist.pdf(x, *params))
+        assert pdf.shape == x.shape
+        finite = np.isfinite(lp)
+        np.testing.assert_allclose(pdf[finite], np.exp(lp[finite]),
+                                   rtol=1e-4)
+    if params and np.ndim(params[0]) == 0:
+        # batched leading parameter (hierarchical priors)
+        batched = (np.full(7, params[0], np.float32),) + params[1:]
+        xb = np.asarray(dist.rvs(*batched, size=7, key=KEY))
+        assert xb.shape == (7,)
