@@ -126,3 +126,49 @@ def test_romc_gnk_end_to_end():
     assert set(means) == set(m.parameter_names)
     for v in means.values():
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_romc_bo_path_with_batched_surrogate_regions():
+    """ROMC with deterministic-BO solves (reference ``romc.py:1446-1500``)
+    end to end: GP surrogates per problem, batched surrogate region
+    construction (stacked GP factors, one vmapped line-search program),
+    posterior sampling through the surrogates."""
+    m, obs_mean = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=11)
+    romc.solve_problems(n1=6, use_bo=True,
+                        optimizer_args={"n_evidence": 14}, seed=13)
+    assert romc.inference_state["_has_fitted_surrogate_model"]
+    romc.estimate_regions(eps_filter=0.5)
+    built = [p for p in romc.optim_problems if p.state["region"]]
+    assert built, "no regions built via the surrogate path"
+    assert all(p.state["has_built_region_with_surrogate"] for p in built)
+    res = romc.sample(n2=30, seed=17)
+    w = res.weights
+    assert w.sum() > 0
+    mean = float(np.sum(res.samples_array.ravel() * w) / w.sum())
+    assert abs(mean - obs_mean) < 0.75
+
+
+def test_batched_regions_match_per_problem_path():
+    """The one-program vmapped region construction must produce the same
+    bounding boxes as the sequential per-problem RegionConstructor."""
+    m, _ = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=3)
+    romc.solve_problems(n1=10, seed=7)
+    romc.estimate_regions(eps_filter=0.2)
+    batched = {p.ind: p.regions[0] for p in romc.optim_problems
+               if p.state["region"]}
+    assert batched
+
+    romc2 = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=3)
+    romc2.solve_problems(n1=10, seed=7)
+    romc2._can_batch_regions = lambda *a, **k: False
+    romc2.estimate_regions(eps_filter=0.2)
+    sequential = {p.ind: p.regions[0] for p in romc2.optim_problems
+                  if p.state["region"]}
+    assert set(batched) == set(sequential)
+    for ind, reg in batched.items():
+        np.testing.assert_allclose(reg.center, sequential[ind].center,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(reg.limits, sequential[ind].limits,
+                                   rtol=1e-4, atol=1e-5)
