@@ -37,7 +37,10 @@ from .methods import (LinearAdjustment, TwoStageSelection,  # noqa: F401
                       adjust_posterior, compare_models)
 from .testbench import Testbench, TestbenchMethod  # noqa: F401
 
-# Reference API alias: elfi.ElfiModel == elfi_tpu.Model
+# Reference API aliases: elfi.ElfiModel == elfi_tpu.Model and the JAX GP
+# answers to the reference surrogate's name (``elfi.GPyRegression``,
+# reference ``elfi/__init__.py:29``) so ported scripts run unchanged.
 ElfiModel = Model
+GPyRegression = GPRegression
 
 __version__ = "0.1.0"
