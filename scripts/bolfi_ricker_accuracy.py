@@ -5,7 +5,8 @@ Runs the bench's Ricker BOLFI fit at a given n_evidence across several
 seeds and reports the per-parameter deviation from the rejection ground
 truth in ground-truth-SD units (bench gate: < 2 SD).
 
-Usage: python scripts/bolfi_ricker_accuracy.py [n_evidence] [seeds...]
+Usage: python scripts/bolfi_ricker_accuracy.py [n_evidence] [update_interval]
+       [seeds...]
 """
 
 import sys
@@ -48,7 +49,8 @@ def main():
     import elfi_tpu as elfi
 
     n_evidence = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    seeds = [int(s) for s in sys.argv[2:]] or [1, 2, 3, 4]
+    update_interval = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    seeds = [int(s) for s in sys.argv[3:]] or [1, 2, 3, 4]
     m = build_model()
 
     t0 = time.perf_counter()
@@ -66,7 +68,7 @@ def main():
     for seed in seeds:
         t0 = time.perf_counter()
         bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=40,
-                           update_interval=20,
+                           update_interval=update_interval,
                            bounds={"t1": (3, 5), "t2": (0.05, 0.8),
                                    "t3": (4, 16)},
                            acq_noise_var=noise, seed=seed)
@@ -77,7 +79,8 @@ def main():
         devs = {k: abs(means[k] - gt_means[k]) / gt_sds[k] for k in gt_sds}
         worst = max(worst, max(devs.values()))
         status = "OK " if max(devs.values()) < 2.0 else "FAIL"
-        print(f"seed={seed} n_ev={n_evidence} {status} wall={wall:.1f}s "
+        print(f"seed={seed} n_ev={n_evidence} ui={update_interval} "
+              f"{status} wall={wall:.1f}s "
               f"means={ {k: round(v, 3) for k, v in means.items()} } "
               f"dev_sd={ {k: round(v, 2) for k, v in devs.items()} }",
               flush=True)
