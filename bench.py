@@ -32,6 +32,40 @@ import numpy as np
 BASELINE_SIMS_PER_S = 254_000
 
 
+def _wait_for_device(deadline_s=900, probe_timeout_s=90):
+    """Block until the TPU tunnel answers a trivial op, probing from
+    DISPOSABLE subprocesses.
+
+    The axon tunnel drops/hangs intermittently (multiple multi-minute
+    outages observed 2026-08-17); a hung in-process XLA call cannot be
+    timed out, so the main process must not touch the device until a
+    subprocess proves the tunnel is alive.  Proceeds after ``deadline_s``
+    regardless — a wrong-but-attempted run beats a silent exit."""
+    import subprocess
+    import sys
+    smoke = ("import jax, jax.numpy as jnp; "
+             "assert int(jnp.arange(8).sum()) == 28")
+    t0 = time.monotonic()
+    attempt = 0
+    while time.monotonic() - t0 < deadline_s:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", smoke],
+                               timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# device up after {attempt} probes "
+                          f"({time.monotonic() - t0:.0f}s)",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(15)
+    print(f"# WARNING: device probe never succeeded within {deadline_s}s; "
+          "attempting the benchmark anyway", file=sys.stderr)
+
+
 def _bench_bolfi_ricker():
     """North-star #2: BOLFI to posterior on Ricker, target < 60 s
     (fused device BO loop + vmapped NUTS; priors match surrogate bounds as
@@ -197,6 +231,7 @@ def _bench_romc_gnk():
 
 
 def main():
+    _wait_for_device()
     import jax
     from elfi_tpu.utils import setup_performance_cache
     try:
