@@ -203,10 +203,19 @@ class ClusterBackend:
                         continue
                     if kind == "result":
                         task.result = value
+                        task.done = True
+                    elif kind == "noprog":
+                        # the worker's bounded program cache evicted this
+                        # key after we marked it shipped — clear the mark
+                        # and requeue so the next send carries the program
+                        worker.shipped.discard(value)
+                        task.worker = None
+                        task.assigned_at = None
+                        self._queue.append(tid)
                     else:
                         task.error = RuntimeError(
                             f"cluster worker failed: {value}")
-                    task.done = True
+                        task.done = True
             except (EOFError, OSError):
                 self._drop_worker(worker)
         idle = [w for w in self._workers if not w.inflight]
@@ -334,13 +343,18 @@ class ClusterBackend:
         self._workers.clear()
 
 
-def worker_main(address, authkey=None):
+def worker_main(address, authkey=None, program_cache_size=32):
     """Worker loop: connect to the master and execute batch tasks until a
     stop message or a dropped connection.  Entry point:
     ``python -m elfi_tpu.worker HOST:PORT/AUTHKEY``.
 
-    Programs arrive once per key and are cached, so the embedded jit
-    cache persists across tasks — device graphs compile once per worker.
+    Programs arrive once per key and are cached (FIFO-bounded), so the
+    embedded jit cache persists across tasks — device graphs compile once
+    per worker.  If the master references a key this worker has evicted,
+    the worker answers ``("noprog", tid, key)`` and the master re-ships
+    the program with the requeued task (the master's per-worker
+    shipped-set is unbounded; without this reply an evicted key would
+    fail every future task for it).
     """
     if isinstance(address, str):
         address, parsed_key = parse_address(address)
@@ -354,17 +368,20 @@ def worker_main(address, authkey=None):
                 break
             _, tid, pkey, program, seed, batch_index, overrides, \
                 batch_size = msg
+            if program is not None:
+                while len(programs) >= max(1, program_cache_size):
+                    programs.pop(next(iter(programs)))   # FIFO bound
+                programs[pkey] = program
+            elif pkey not in programs:
+                conn.send(("noprog", tid, pkey))
+                continue
             try:
-                if program is not None:
-                    while len(programs) > 32:     # FIFO bound
-                        programs.pop(next(iter(programs)))
-                    programs[pkey] = program
                 prog = programs[pkey]
                 out = prog.run(jax.random.key(seed), batch_index,
                                overrides, batch_size)
                 conn.send(("result", tid,
                            {k: np.asarray(v) for k, v in out.items()}))
-            except Exception as e:      # master retries deterministically
+            except Exception as e:      # master replays deterministically
                 conn.send(("error", tid, repr(e)))
     except EOFError:
         pass

@@ -27,7 +27,8 @@ def main(argv=None):
     except Exception:
         pass
     from elfi_tpu.parallel.cluster import worker_main
-    worker_main(argv[0])
+    cache = int(os.environ.get("ELFI_TPU_WORKER_PROGRAM_CACHE", "32"))
+    worker_main(argv[0], program_cache_size=cache)
     return 0
 
 

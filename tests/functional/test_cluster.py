@@ -14,10 +14,11 @@ import pytest
 pytestmark = pytest.mark.slow  # excluded from the fast CI gate
 
 
-def _spawn_worker(address):
+def _spawn_worker(address, **extra_env):
     # address is the master's handout string host:port/authkey-hex
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.update({k: str(v) for k, v in extra_env.items()})
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     return subprocess.Popen(
@@ -107,6 +108,51 @@ def test_cluster_device_graph_ships_program_once():
         ref = elfi.Rejection(m["d"], batch_size=100, seed=11).sample(
             20, n_sim=1000, bar=False, fused=False)
         np.testing.assert_array_equal(res.samples_array, ref.samples_array)
+    finally:
+        elfi.set_client(prev)
+        backend.close()
+        try:
+            worker.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            worker.kill()
+
+
+def test_cluster_worker_program_cache_eviction_reships():
+    """The worker's program cache is FIFO-bounded, but the master's
+    per-worker shipped-set is not: when the master references an evicted
+    key the worker must answer "noprog" and the master must re-ship with
+    the requeued task (this used to fail every future task for the
+    evicted key)."""
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+    from elfi_tpu.parallel.cluster import ClusterBackend
+
+    ma = ma2.get_model(seed_obs=4)
+    mb = ma2.get_model(seed_obs=5)          # distinct model -> distinct key
+    backend = ClusterBackend(local_fallback=False)
+    prev = elfi.get_client()
+    worker = _spawn_worker(backend.address, ELFI_TPU_WORKER_PROGRAM_CACHE=1)
+    try:
+        deadline = time.monotonic() + 90
+        while not (backend._workers or backend._joined) \
+                and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert backend._workers or backend._joined, "no worker attached"
+        elfi.set_client(backend)
+
+        def run(m, seed):
+            return elfi.Rejection(m["d"], batch_size=50, seed=seed).sample(
+                10, n_sim=100, bar=False)
+
+        ra1 = run(ma, 11)                   # ships program A
+        run(mb, 12)                         # cache=1: evicts A
+        ra2 = run(ma, 11)                   # A referenced by key -> noprog
+        np.testing.assert_array_equal(ra1.samples_array, ra2.samples_array)
+        # A shipped twice (initial + after eviction) + B once
+        assert backend.programs_shipped == 3
+        elfi.set_client("native")
+        ref = run(ma, 11)
+        np.testing.assert_array_equal(ra2.samples_array, ref.samples_array)
     finally:
         elfi.set_client(prev)
         backend.close()
