@@ -863,7 +863,8 @@ class ROMC(ParameterInference):
                                               alpha, params)
                 return mu[0]
 
-            cache_key = ("surrogate", id(fns), K, eta, rep_lim)
+            closed_over = fns
+            cache_key = ("surrogate", K, eta, rep_lim)
         else:
             obj = self._objective
             aux = jnp.stack([p.key for p in probs])
@@ -871,11 +872,17 @@ class ROMC(ParameterInference):
             def f_of(theta, key):
                 return obj(theta, key)
 
+            closed_over = obj
             cache_key = ("objective", K, eta, rep_lim)
 
+        # the jitted search CLOSES OVER fns/obj, so the cache entry guards
+        # the captured object's identity (id()-keyed caching is unsafe:
+        # a GC'd object's id can be reused by a different kernel bundle)
         cache = self.__dict__.setdefault("_region_search_cache", {})
-        search = cache.get(cache_key)
-        if search is None:
+        cached = cache.get(cache_key)
+        if cached is not None and cached[0] is closed_over:
+            search = cached[1]
+        else:
             def per_problem(th0, ds, aux_one, eps):
                 return jax.vmap(lambda vd: line_search(
                     lambda t: f_of(t, aux_one), th0, vd, eps, K, eta,
@@ -883,7 +890,7 @@ class ROMC(ParameterInference):
 
             search = jax.jit(jax.vmap(per_problem,
                                       in_axes=(0, 0, 0, None)))
-            cache[cache_key] = search
+            cache[cache_key] = (closed_over, search)
 
         offsets = np.asarray(search(jnp.asarray(theta0), jnp.asarray(dirs),
                                     aux, jnp.float32(eps_region)))
