@@ -295,11 +295,16 @@ def main():
     sh_t2 = float(np.mean(res_sh.samples["t2"]))
 
     # variant with the fused Pallas sim+summaries+distance kernel (its own
-    # RNG streams; the posterior must still match)
-    elfi.Rejection(mp["d"], batch_size=batch_size, seed=0).sample(
+    # RNG streams; the posterior must still match).  The kernel keeps
+    # scaling past XLA's VMEM sweet spot (batch sweep 2026-08-17:
+    # XLA peaks at 2^17 and degrades 245->117 M sims/s by 2^19, the
+    # Pallas path climbs 260->312 M and peaks at 2^19), so it runs at
+    # its own batch size
+    pallas_batch = 1 << 19
+    elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
     t1 = time.perf_counter()
-    res_p = elfi.Rejection(mp["d"], batch_size=batch_size, seed=1).sample(
+    res_p = elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=1).sample(
         n_samples, n_sim=n_sim, bar=False)
     wall_pallas = time.perf_counter() - t1
     p_t1 = float(np.mean(res_p.samples["t1"]))
@@ -326,6 +331,7 @@ def main():
             "sharded_mesh1_posterior_means": [round(sh_t1, 4),
                                               round(sh_t2, 4)],
             "pallas_kernel_sims_per_s": round(n_sim / wall_pallas, 1),
+            "pallas_batch_size": pallas_batch,
             "pallas_posterior_means": [round(p_t1, 4), round(p_t2, 4)],
             "bolfi_ricker_total_s": bolfi_s,
             "bolfi_ricker_posterior_means": bolfi_means,
