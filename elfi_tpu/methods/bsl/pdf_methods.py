@@ -146,7 +146,7 @@ def semi_param_kernel_estimate(ssx, ssy, shrinkage=None, penalty=None,
     for j in range(ns):
         col = ssx[:, j]
         kde = ss.gaussian_kde(col, bw_method="silverman")
-        logpdf_y[j] = kde.logpdf(ssy[j])
+        logpdf_y[j] = kde.logpdf(ssy[j]).item()
         y_u[j] = min(1.0, kde.integrate_box_1d(-np.inf, ssy[j]))
         if whitening is not None:
             sim_eta[:, j] = ss.norm.ppf(ss.rankdata(col) / (n + 1))
