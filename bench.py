@@ -296,11 +296,13 @@ def main():
 
     # variant with the fused Pallas sim+summaries+distance kernel (its own
     # RNG streams; the posterior must still match).  The kernel keeps
-    # scaling past XLA's VMEM sweet spot (batch sweep 2026-08-17:
-    # XLA peaks at 2^17 and degrades 245->117 M sims/s by 2^19, the
-    # Pallas path climbs 260->312 M and peaks at 2^19), so it runs at
-    # its own batch size
-    pallas_batch = 1 << 19
+    # scaling past XLA's VMEM sweet spot (batch sweeps 2026-08-17:
+    # XLA peaks at 2^17 and degrades 245->119 M sims/s by 2^19 — sim-side,
+    # not merge-side; the Pallas path with the threshold-culled merge
+    # climbs 301->346 M from 2^19 to its 2^20/2^21 plateau and falls back
+    # to 308 M at 2^22 — scripts/merge_ab*.py), so it runs at its own
+    # batch size
+    pallas_batch = 1 << 20
     elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
     t1 = time.perf_counter()

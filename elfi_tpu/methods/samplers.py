@@ -260,14 +260,16 @@ class Rejection(Sampler):
                 out = fn(master_key, i, ov_fn(ov, i) if ov_fn else {})
                 if shard is not None:
                     out = shard(out)
-                return topk.merge_core(b, out, thr, disc)
+                return topk.merge_scan(b, out, thr, disc)
             idx = start + jnp.arange(length, dtype=jnp.uint32)
             bufs, accs = jax.lax.scan(step, bufs, idx)
             return bufs, jnp.sum(accs)
 
         def chunk_fn(length):
             cache_key = (self.batch_size, n, length, shard_tag,
-                         tuple(sorted(self.output_names)), ov_tag)
+                         tuple(sorted(self.output_names)), ov_tag,
+                         topk.MERGE_VARIANT, topk.CULL_SMALL_K,
+                         topk.CULL_MIN_BATCH)
             if cache_key not in chunk_cache:
                 def body(master_key, bufs, thr, ov):
                     start = bufs.pop("__start")
@@ -283,7 +285,9 @@ class Rejection(Sampler):
             # in ONE dispatch -- on a remote-attached chip every extra
             # dispatch / device_put is a ~10-50 ms round trip
             cache_key = (self.batch_size, n, "whole", length, shard_tag,
-                         tuple(sorted(self.output_names)), ov_tag)
+                         tuple(sorted(self.output_names)), ov_tag,
+                         topk.MERGE_VARIANT, topk.CULL_SMALL_K,
+                         topk.CULL_MIN_BATCH)
             if cache_key not in chunk_cache:
                 def body(seed_, thr, start, ov):
                     master_key = jax.random.key(seed_)

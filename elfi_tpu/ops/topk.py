@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sort_key", "accept_mask", "make_merge_fn", "init_buffers"]
+__all__ = ["sort_key", "accept_mask", "make_merge_fn", "init_buffers",
+           "merge_core", "merge_core_culled", "merge_scan"]
 
 
 def sort_key(d):
@@ -68,6 +69,86 @@ def merge_core(buffers, batch, threshold, discrepancy_name):
             [buffers[k], jnp.asarray(batch[k]).astype(buffers[k].dtype)])
         out[k] = jnp.take(merged, idx, axis=0)
     return out, jnp.sum(ok)
+
+
+def merge_core_culled(buffers, batch, threshold, discrepancy_name,
+                      small_k=1024):
+    """Threshold-culled top-N merge — bit-identical to :func:`merge_core`.
+
+    The carried buffer is always sorted ascending, so its last key ``kth``
+    is the current N-th best.  A new key ``>= kth`` can NEVER enter the
+    buffer: ``lax.top_k`` breaks ties by lower index and buffer rows precede
+    batch rows in the flat merge's concatenation, so even an exact tie
+    loses.  Hence only the ``count`` of strictly-better candidates matters;
+    once the buffer stabilizes (a few scan iterations in), ``count`` decays
+    like N/iteration and a ``small_k``-wide ``top_k`` replaces the
+    full-width one.  ``lax.cond`` guards exactness: if ``count > small_k``
+    (early iterations) the flat merge runs instead.
+
+    Tie/`inf` behaviour is preserved: candidates come out of the small
+    ``top_k`` ordered (value, original index) — the same relative order
+    ties have in the flat concatenation — and buffer rows keep lower
+    indices than candidates, so the merged output (keys AND gathered rows)
+    is bit-identical to the flat path per seed.
+    """
+    d = jnp.asarray(batch[discrepancy_name])
+    keys_new = jnp.asarray(sort_key(d), jnp.float32)
+    ok = accept_mask(d, threshold)
+    keys_eff = jnp.where(ok, keys_new, jnp.inf)
+    n = buffers["__key"].shape[0]
+    n_acc = jnp.sum(ok)
+    if keys_eff.shape[0] <= 4 * small_k:
+        # small batches: the flat merge is already narrow; no cull to win
+        out, _ = merge_core(buffers, batch, threshold, discrepancy_name)
+        return out, n_acc
+
+    kth = buffers["__key"][n - 1]
+    beats = keys_eff < kth
+    count = jnp.sum(beats)
+
+    def fast(bufs):
+        masked = jnp.where(beats, keys_eff, jnp.inf)
+        neg_c, cidx = jax.lax.top_k(-masked, small_k)
+        cat2 = jnp.concatenate([bufs["__key"], -neg_c])
+        neg2, idx2 = jax.lax.top_k(-cat2, n)
+        from_buf = idx2 < n
+        bidx = jnp.minimum(idx2, n - 1)
+        srow = jnp.take(cidx, jnp.maximum(idx2 - n, 0))
+        out = {"__key": -neg2}
+        for k in batch:
+            bv = bufs[k]
+            nv = jnp.asarray(batch[k]).astype(bv.dtype)
+            cond = from_buf.reshape((-1,) + (1,) * (bv.ndim - 1))
+            out[k] = jnp.where(cond, jnp.take(bv, bidx, axis=0),
+                               jnp.take(nv, srow, axis=0))
+        return out
+
+    def slow(bufs):
+        out, _ = merge_core(bufs, batch, threshold, discrepancy_name)
+        return out
+
+    return jax.lax.cond(count <= small_k, fast, slow, buffers), n_acc
+
+
+#: merge variant used inside the fused rejection scan ("culled" | "flat");
+#: module-level so benchmarks can A/B — the fused-chunk cache key includes it
+MERGE_VARIANT = "culled"
+#: candidate width of the culled fast path
+CULL_SMALL_K = 1024
+#: smallest batch the cull pays off for (TPU A/B 2026-08-17,
+#: scripts/merge_ab.py: +13% at 2^19, -14% at 2^17 — with 4x the scan
+#: iterations the per-iteration lax.cond overhead outweighs the narrower
+#: top_k)
+CULL_MIN_BATCH = 1 << 18
+
+
+def merge_scan(buffers, batch, threshold, discrepancy_name):
+    """Merge used by the fused scan body, honoring :data:`MERGE_VARIANT`."""
+    b = jnp.asarray(batch[discrepancy_name]).shape[0]
+    if MERGE_VARIANT == "culled" and b >= CULL_MIN_BATCH:
+        return merge_core_culled(buffers, batch, threshold, discrepancy_name,
+                                 small_k=CULL_SMALL_K)
+    return merge_core(buffers, batch, threshold, discrepancy_name)
 
 
 def make_merge_fn(discrepancy_name):

@@ -36,6 +36,61 @@ def test_fused_equals_unfused(ma2):
         np.testing.assert_array_equal(res1.outputs[k], res2.outputs[k])
 
 
+@pytest.mark.slow
+def test_fused_culled_merge_equals_flat_at_scale(ma2):
+    """At bench-scale batches the fused loop uses the threshold-culled
+    merge (``topk.MERGE_VARIANT='culled'``); it must stay BIT-identical to
+    the flat merge end-to-end.  batch_size 8192 > 4*small_k activates the
+    culled body, 10 scan iterations cross the count<=small_k boundary."""
+    from elfi_tpu.ops import topk as topk_mod
+
+    assert topk_mod.MERGE_VARIANT == "culled"  # the shipped default
+    res_c = elfi.Rejection(ma2["d"], batch_size=8192, seed=17).sample(
+        50, n_sim=81920, fused=True, bar=False)
+    prev = topk_mod.MERGE_VARIANT
+    try:
+        topk_mod.MERGE_VARIANT = "flat"
+        res_f = elfi.Rejection(ma2["d"], batch_size=8192, seed=17).sample(
+            50, n_sim=81920, fused=True, bar=False)
+    finally:
+        topk_mod.MERGE_VARIANT = prev
+    for k in res_c.outputs:
+        np.testing.assert_array_equal(np.asarray(res_c.outputs[k]),
+                                      np.asarray(res_f.outputs[k]),
+                                      err_msg=k)
+
+
+def test_sharded_culled_merge_equals_native_flat(ma2):
+    """Culled merge under batch-axis sharding over the 8-device mesh: the
+    cond predicate is a replicated scalar and the small top_k runs over a
+    sharded operand — results must match the native flat path bit-for-bit
+    (thresholds patched down so the culled body activates at test scale)."""
+    from elfi_tpu.ops import topk as topk_mod
+
+    pre = elfi.get_client()
+    saved = (topk_mod.MERGE_VARIANT, topk_mod.CULL_SMALL_K,
+             topk_mod.CULL_MIN_BATCH)
+    try:
+        topk_mod.MERGE_VARIANT = "flat"
+        elfi.set_client(elfi.NativeBackend())
+        res_n = elfi.Rejection(ma2["d"], batch_size=1024, seed=23).sample(
+            32, n_sim=8192, fused=True, bar=False)
+        topk_mod.MERGE_VARIANT = "culled"
+        topk_mod.CULL_SMALL_K = 64
+        topk_mod.CULL_MIN_BATCH = 1024
+        elfi.set_client(elfi.ShardedBackend())
+        res_s = elfi.Rejection(ma2["d"], batch_size=1024, seed=23).sample(
+            32, n_sim=8192, fused=True, bar=False)
+        for k in res_n.outputs:
+            np.testing.assert_allclose(np.asarray(res_n.outputs[k]),
+                                       np.asarray(res_s.outputs[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+    finally:
+        (topk_mod.MERGE_VARIANT, topk_mod.CULL_SMALL_K,
+         topk_mod.CULL_MIN_BATCH) = saved
+        elfi.set_client(pre)
+
+
 def test_seed_determinism(ma2):
     r1 = elfi.Rejection(ma2["d"], batch_size=32, seed=5).sample(
         8, n_sim=64, bar=False)

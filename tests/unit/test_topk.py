@@ -83,6 +83,108 @@ def test_init_buffers_shapes_and_dtypes():
     assert buffers["__key"].shape == (10,)
 
 
+def _random_stream(rng, n_batches, b, low=0.0):
+    for _ in range(n_batches):
+        yield {"d": rng.uniform(low, 1, b).astype(np.float32),
+               "t": rng.normal(size=(b, 2)).astype(np.float32)}
+
+
+@pytest.mark.parametrize("threshold", [np.inf, 0.4])
+def test_culled_merge_bit_identical_to_flat(threshold):
+    """merge_core_culled must be BIT-identical to merge_core on every
+    buffer entry (keys and gathered rows), across both cond branches:
+    early batches overflow small_k (slow branch), later ones cull (fast)."""
+    from elfi_tpu.ops.topk import merge_core_culled
+
+    rng = np.random.RandomState(3)
+    n, b, small_k = 16, 64, 8          # b > 4*small_k -> culled body active
+    batches = list(_random_stream(rng, 12, b))
+    buf_flat = init_buffers(n, batches[0], "d")
+    buf_cull = init_buffers(n, batches[0], "d")
+    fast_possible = False
+    for batch in batches:
+        kth = np.asarray(buf_cull["__key"])[n - 1]
+        if np.sum(batch["d"] < min(kth, threshold)) <= small_k:
+            fast_possible = True
+        buf_flat, acc_f = merge_core(buf_flat, batch, threshold, "d")
+        buf_cull, acc_c = merge_core_culled(buf_cull, batch, threshold, "d",
+                                            small_k=small_k)
+        assert int(acc_f) == int(acc_c)
+        for k in buf_flat:
+            np.testing.assert_array_equal(np.asarray(buf_flat[k]),
+                                          np.asarray(buf_cull[k]), err_msg=k)
+    assert fast_possible  # the fast branch was actually exercised
+
+
+def test_culled_merge_bit_identical_with_boundary_ties():
+    """Ties exactly AT the current N-th key: never admitted (buffer rows
+    win the index tie-break) — both paths must agree bit-for-bit."""
+    from elfi_tpu.ops.topk import merge_core_culled
+
+    n, small_k = 8, 4
+    first = {"d": np.linspace(0.1, 0.8, 32).astype(np.float32),
+             "t": np.arange(32, dtype=np.float32)}
+    buf_flat = init_buffers(n, first, "d")
+    buf_cull = init_buffers(n, first, "d")
+    buf_flat, _ = merge_core(buf_flat, first, np.inf, "d")
+    buf_cull, _ = merge_core_culled(buf_cull, first, np.inf, "d",
+                                    small_k=small_k)
+    kth = float(np.asarray(buf_flat["__key"])[n - 1])
+    # second batch: duplicates of kth (must lose), a couple of better keys,
+    # and filler above the boundary
+    d2 = np.full(32, kth, np.float32)
+    d2[5] = kth / 2
+    d2[9] = kth / 3
+    d2[16:] = 0.9
+    batch2 = {"d": d2, "t": 100 + np.arange(32, dtype=np.float32)}
+    buf_flat, _ = merge_core(buf_flat, batch2, np.inf, "d")
+    buf_cull, _ = merge_core_culled(buf_cull, batch2, np.inf, "d",
+                                    small_k=small_k)
+    for k in buf_flat:
+        np.testing.assert_array_equal(np.asarray(buf_flat[k]),
+                                      np.asarray(buf_cull[k]), err_msg=k)
+    assert kth not in np.asarray(buf_cull["__key"])  # dup never entered
+
+
+def test_culled_merge_partial_buffer_infs():
+    """Fast branch while the buffer still holds +inf sentinels (few
+    acceptances yet): kept infs must come from the buffer in both paths."""
+    from elfi_tpu.ops.topk import merge_core_culled
+
+    n, small_k = 12, 4
+    d = np.full(32, np.inf, np.float32)   # threshold rejects all but two
+    d[3], d[20] = 0.1, 0.2
+    batch = {"d": np.where(np.isinf(d), 5.0, d).astype(np.float32),
+             "t": np.arange(32, dtype=np.float32)}
+    buf_flat = init_buffers(n, batch, "d")
+    buf_cull = init_buffers(n, batch, "d")
+    buf_flat, af = merge_core(buf_flat, batch, 1.0, "d")
+    buf_cull, ac = merge_core_culled(buf_cull, batch, 1.0, "d",
+                                     small_k=small_k)
+    assert int(af) == int(ac) == 2
+    for k in buf_flat:
+        np.testing.assert_array_equal(np.asarray(buf_flat[k]),
+                                      np.asarray(buf_cull[k]), err_msg=k)
+
+
+def test_merge_scan_variant_switch():
+    from elfi_tpu.ops import topk as topk_mod
+
+    batch = {"d": np.random.RandomState(0).uniform(0, 1, 64)
+             .astype(np.float32)}
+    bufs = init_buffers(8, batch, "d")
+    prev = topk_mod.MERGE_VARIANT
+    try:
+        topk_mod.MERGE_VARIANT = "flat"
+        out_f, _ = topk_mod.merge_scan(bufs, batch, np.inf, "d")
+        topk_mod.MERGE_VARIANT = "culled"
+        out_c, _ = topk_mod.merge_scan(bufs, batch, np.inf, "d")
+    finally:
+        topk_mod.MERGE_VARIANT = prev
+    np.testing.assert_array_equal(np.asarray(out_f["__key"]),
+                                  np.asarray(out_c["__key"]))
+
+
 def test_merge_is_deterministic_under_duplicate_keys():
     """Duplicate distances must not produce nondeterministic buffers: two
     identical merges give identical outputs (ties broken by stable index)."""
