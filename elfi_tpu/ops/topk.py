@@ -85,19 +85,30 @@ def merge_core_culled(buffers, batch, threshold, discrepancy_name,
     full-width one.  ``lax.cond`` guards exactness: if ``count > small_k``
     (early iterations) the flat merge runs instead.
 
+    ``small_k`` may be a tuple of ascending widths: a CASCADE of guarded
+    fast paths (``count <= w`` picks the narrowest adequate ``top_k``,
+    the flat merge remains the last resort).  The narrow widths serve the
+    steady state where ``count`` has decayed to O(n/iteration) while the
+    wide ones keep the expensive full-width gathers of the flat path off
+    the early iterations.
+
     Tie/`inf` behaviour is preserved: candidates come out of the small
     ``top_k`` ordered (value, original index) — the same relative order
     ties have in the flat concatenation — and buffer rows keep lower
     indices than candidates, so the merged output (keys AND gathered rows)
     is bit-identical to the flat path per seed.
     """
+    widths = tuple(small_k) if isinstance(small_k, (tuple, list)) \
+        else (small_k,)
+    if sorted(widths) != list(widths) or len(set(widths)) != len(widths):
+        raise ValueError(f"small_k cascade must be ascending: {small_k!r}")
     d = jnp.asarray(batch[discrepancy_name])
     keys_new = jnp.asarray(sort_key(d), jnp.float32)
     ok = accept_mask(d, threshold)
     keys_eff = jnp.where(ok, keys_new, jnp.inf)
     n = buffers["__key"].shape[0]
     n_acc = jnp.sum(ok)
-    if keys_eff.shape[0] <= 4 * small_k:
+    if keys_eff.shape[0] <= 4 * max(widths):
         # small batches: the flat merge is already narrow; no cull to win
         out, _ = merge_core(buffers, batch, threshold, discrepancy_name)
         return out, n_acc
@@ -106,28 +117,35 @@ def merge_core_culled(buffers, batch, threshold, discrepancy_name,
     beats = keys_eff < kth
     count = jnp.sum(beats)
 
-    def fast(bufs):
-        masked = jnp.where(beats, keys_eff, jnp.inf)
-        neg_c, cidx = jax.lax.top_k(-masked, small_k)
-        cat2 = jnp.concatenate([bufs["__key"], -neg_c])
-        neg2, idx2 = jax.lax.top_k(-cat2, n)
-        from_buf = idx2 < n
-        bidx = jnp.minimum(idx2, n - 1)
-        srow = jnp.take(cidx, jnp.maximum(idx2 - n, 0))
-        out = {"__key": -neg2}
-        for k in batch:
-            bv = bufs[k]
-            nv = jnp.asarray(batch[k]).astype(bv.dtype)
-            cond = from_buf.reshape((-1,) + (1,) * (bv.ndim - 1))
-            out[k] = jnp.where(cond, jnp.take(bv, bidx, axis=0),
-                               jnp.take(nv, srow, axis=0))
-        return out
+    def make_fast(width):
+        def fast(bufs):
+            masked = jnp.where(beats, keys_eff, jnp.inf)
+            neg_c, cidx = jax.lax.top_k(-masked, width)
+            cat2 = jnp.concatenate([bufs["__key"], -neg_c])
+            neg2, idx2 = jax.lax.top_k(-cat2, n)
+            from_buf = idx2 < n
+            bidx = jnp.minimum(idx2, n - 1)
+            srow = jnp.take(cidx, jnp.maximum(idx2 - n, 0))
+            out = {"__key": -neg2}
+            for k in batch:
+                bv = bufs[k]
+                nv = jnp.asarray(batch[k]).astype(bv.dtype)
+                cond = from_buf.reshape((-1,) + (1,) * (bv.ndim - 1))
+                out[k] = jnp.where(cond, jnp.take(bv, bidx, axis=0),
+                                   jnp.take(nv, srow, axis=0))
+            return out
+
+        return fast
 
     def slow(bufs):
         out, _ = merge_core(bufs, batch, threshold, discrepancy_name)
         return out
 
-    return jax.lax.cond(count <= small_k, fast, slow, buffers), n_acc
+    merged = slow
+    for width in reversed(widths):
+        merged = (lambda wider, w: lambda bufs: jax.lax.cond(
+            count <= w, make_fast(w), wider, bufs))(merged, width)
+    return merged(buffers), n_acc
 
 
 #: merge variant used inside the fused rejection scan ("culled" | "flat");

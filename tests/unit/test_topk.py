@@ -90,21 +90,24 @@ def _random_stream(rng, n_batches, b, low=0.0):
 
 
 @pytest.mark.parametrize("threshold", [np.inf, 0.4])
-def test_culled_merge_bit_identical_to_flat(threshold):
+@pytest.mark.parametrize("small_k", [8, (4, 8), (2, 8, 16)])
+def test_culled_merge_bit_identical_to_flat(threshold, small_k):
     """merge_core_culled must be BIT-identical to merge_core on every
     buffer entry (keys and gathered rows), across both cond branches:
-    early batches overflow small_k (slow branch), later ones cull (fast)."""
+    early batches overflow small_k (slow branch), later ones cull (fast).
+    Tuple small_k exercises the cascade of guarded widths."""
     from elfi_tpu.ops.topk import merge_core_culled
 
     rng = np.random.RandomState(3)
-    n, b, small_k = 16, 64, 8          # b > 4*small_k -> culled body active
+    n, b = 16, 64          # b > 4*max(small_k) -> culled body active
+    max_k = small_k if isinstance(small_k, int) else max(small_k)
     batches = list(_random_stream(rng, 12, b))
     buf_flat = init_buffers(n, batches[0], "d")
     buf_cull = init_buffers(n, batches[0], "d")
     fast_possible = False
     for batch in batches:
         kth = np.asarray(buf_cull["__key"])[n - 1]
-        if np.sum(batch["d"] < min(kth, threshold)) <= small_k:
+        if np.sum(batch["d"] < min(kth, threshold)) <= max_k:
             fast_possible = True
         buf_flat, acc_f = merge_core(buf_flat, batch, threshold, "d")
         buf_cull, acc_c = merge_core_culled(buf_cull, batch, threshold, "d",
@@ -114,6 +117,15 @@ def test_culled_merge_bit_identical_to_flat(threshold):
             np.testing.assert_array_equal(np.asarray(buf_flat[k]),
                                           np.asarray(buf_cull[k]), err_msg=k)
     assert fast_possible  # the fast branch was actually exercised
+
+
+def test_culled_merge_rejects_unsorted_cascade():
+    from elfi_tpu.ops.topk import merge_core_culled
+
+    batch = {"d": np.zeros(64, np.float32)}
+    bufs = init_buffers(8, batch, "d")
+    with pytest.raises(ValueError, match="ascending"):
+        merge_core_culled(bufs, batch, np.inf, "d", small_k=(8, 4))
 
 
 def test_culled_merge_bit_identical_with_boundary_ties():
