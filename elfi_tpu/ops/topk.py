@@ -151,8 +151,12 @@ def merge_core_culled(buffers, batch, threshold, discrepancy_name,
 #: merge variant used inside the fused rejection scan ("culled" | "flat");
 #: module-level so benchmarks can A/B — the fused-chunk cache key includes it
 MERGE_VARIANT = "culled"
-#: candidate width of the culled fast path
-CULL_SMALL_K = 1024
+#: candidate width(s) of the culled fast path (int or ascending tuple —
+#: see :func:`merge_core_culled`).  TPU A/B at the bench operating point
+#: (batch 2^20, 256 iterations, scripts/merge_ab2.py 2026-08-17):
+#: 342.2M sims/s @1024 -> 349.7M @4096 — the wider guard admits the fast
+#: path on more of the early iterations, which outweighs the wider top_k.
+CULL_SMALL_K = 4096
 #: smallest batch the cull pays off for (TPU A/B 2026-08-17,
 #: scripts/merge_ab.py: +13% at 2^19, -14% at 2^17 — with 4x the scan
 #: iterations the per-iteration lax.cond overhead outweighs the narrower
