@@ -4,7 +4,7 @@ Round-3 follow-up to scripts/merge_ab2.py: at batch 2^20 the prior sweep
 showed sims/s still rising through sk=4096 (342M @1024 -> 350M @4096);
 this probes the plateau and the cascade variant (tuple small_k: narrow
 top_k in the steady state, wider ones guarded by the candidate count).
-Usage: python scripts/merge_ab3.py [sk|sk,sk,... ...]
+Usage: python scripts/merge_ab3.py [--log2batch=20] [sk|sk,sk,... ...]
 """
 
 import sys
@@ -30,9 +30,14 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     n_samples = 5000
     n_sim = 2048 * (1 << 17)
-    batch = 1 << 20
+    args = sys.argv[1:]
+    log2batch = 20
+    if args and args[0].startswith("--log2batch="):
+        log2batch = int(args.pop(0).split("=")[1])
+    batch = 1 << log2batch
 
-    sks = [_parse(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
+    sks = [_parse(a) for a in args] or [4096, 8192, 16384]
+    print(f"batch=2^{log2batch} n_sim={n_sim}", flush=True)
     for sk in sks:
         topk.MERGE_VARIANT = "culled"
         topk.CULL_SMALL_K = sk
