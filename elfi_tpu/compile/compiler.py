@@ -265,6 +265,7 @@ class CompiledProgram:
 
 
 def _host_seed(key):
-    """Derive a 32-bit integer seed from a JAX key for host-side RNGs
-    (external simulators; reference ``elfi/model/tools.py:151-163``)."""
-    return int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    """Single key->seed convention shared with the scipy host-path
+    adapter — see :func:`elfi_tpu.ops.distributions.host_seed`."""
+    from ..ops.distributions import host_seed
+    return host_seed(key)

@@ -267,9 +267,20 @@ class MaxVar(AcquisitionBase):
     def _gp_args(self):
         if self.model._factor is None:
             raise ValueError("GP has no evidence yet")
-        Xp, mask, L, alpha, params = self.model._factor
+        factor = self.model._factor
+        # cache per (factorisation, eps): the constrained SLSQP path calls
+        # evaluate/evaluate_gradient once per optimizer iteration per
+        # start point, and recomputing the O(cap^2) cho_solve inverse
+        # (a device dispatch) each time is pure waste
+        cached = getattr(self, "_gp_args_cache", None)
+        if cached is not None and cached[0] is factor \
+                and cached[1] == self.eps:
+            return cached[2]
+        Xp, mask, L, alpha, params = factor
         Kinv = self.model.fns.posterior_inverse(L, mask)
-        return (Xp, mask, Kinv, alpha, params, jnp.float32(self.eps))
+        args = (Xp, mask, Kinv, alpha, params, jnp.float32(self.eps))
+        self._gp_args_cache = (factor, self.eps, args)
+        return args
 
     def _update_eps(self):
         # gp.Y is host-resident; quantile of the evidence targets
@@ -389,23 +400,18 @@ class RandMaxVar(MaxVar):
         return samples[-1:]
 
 
-_LOOKAHEAD_CACHE = {}
-
-
 def _lookahead_state_fn(fns):
     """Per-round precompute for ExpIntVar, one device dispatch: posterior
     moments at the integration nodes, the ``K^-1 k(X, P)`` cross term
     that turns each candidate's lookahead covariance into a single
     matvec (cached-inverse path — no per-candidate triangular solve),
     and the current indicator mean Phi at every node.  Built per
-    GP-kernel bundle so custom kernels flow through."""
-    # keyed by id(fns) but keeping a strong reference to fns: the bundle
-    # stays alive while cached, so the id can never be reused for a
-    # different kernel's bundle (same staleness class as the
-    # ShardedBackend id-keying bug)
-    cached = _LOOKAHEAD_CACHE.get(id(fns))
-    if cached is not None and cached[0] is fns:
-        return cached[1]
+    GP-kernel bundle so custom kernels flow through.  The jitted program
+    lives ON the bundle (no id-keyed module dict — nothing to grow
+    unbounded or go stale on id reuse)."""
+    jitted = getattr(fns, "_lookahead_state", None)
+    if jitted is not None:
+        return jitted
 
     def state(Xp, mask, Kinv, alpha, params, eps, points):
         mean_p, var_p = fns.predict_noiseless_inv(points, Xp, mask, Kinv,
@@ -416,7 +422,7 @@ def _lookahead_state_fn(fns):
         return mean_p, var_p, kinv_kxp, phi_p
 
     jitted = jax.jit(state)
-    _LOOKAHEAD_CACHE[id(fns)] = (fns, jitted)
+    fns._lookahead_state = jitted
     return jitted
 
 

@@ -511,12 +511,13 @@ class RomcPosterior:
     def pdf_unnorm_batched(self, theta):
         theta = np.atleast_2d(np.asarray(theta, np.float32))
         pr = np.asarray(self.prior.pdf(theta)).ravel()
-        counts = self._indicator_counts(theta)
         if self.surrogate_used:
             inside = np.array([[r.contains(t) for r in self.regions]
                                for t in theta])
             d = self._all_distances(theta)
             counts = np.sum(inside & (d <= self.eps_cutoff), axis=1)
+        else:
+            counts = self._indicator_counts(theta)
         return pr * counts
 
     def _approximate_partition(self, nof_points=30):
@@ -837,7 +838,10 @@ class ROMC(ParameterInference):
         return all(p._traceable is self._objective for p in probs)
 
     def _build_regions_batched(self, accepted, eps_region, use_surrogate,
-                               K=10, eta=1., rep_lim=300):
+                               K=10, eta=1., rep_lim=300, **_ignored):
+        # **_ignored: the sequential path (build_region) reads known keys
+        # via kwargs.get and tolerates extras — the batched fast path must
+        # accept the same region_args dicts, not TypeError on them
         """One jitted program: line searches vmapped over
         (accepted problems) x (2 * dim eigenvector directions)."""
         probs = [p for p, a in zip(self.optim_problems, accepted) if a]

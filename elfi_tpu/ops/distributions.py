@@ -34,6 +34,16 @@ __all__ = [
 ]
 
 
+def host_seed(key):
+    """Derive a 32-bit integer seed from a JAX key for host-side RNGs
+    (scipy adapters, external simulators; reference
+    ``elfi/model/tools.py:151-163``).  The SINGLE definition of the
+    key->seed convention: the compiler's host executor and the scipy
+    host-path adapter must agree bit-for-bit or replayed host RVs would
+    silently diverge between ``program.run`` and direct ``rvs(key=...)``."""
+    return int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+
+
 def _draw_shape(size, *params):
     """Result shape for a univariate draw of ``size`` with given params.
     ``size`` may be an int (batch length) or an explicit shape tuple."""
@@ -632,10 +642,7 @@ class ScipyHostDistribution(Distribution):
         if random_state is not None:
             return random_state
         if key is not None:
-            import jax
-            seed = int(np.asarray(
-                jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
-            return np.random.RandomState(seed)
+            return np.random.RandomState(host_seed(key))
         return np.random
 
     def rvs(self, *params, size=1, key=None, random_state=None):

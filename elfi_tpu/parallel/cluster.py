@@ -73,6 +73,7 @@ class _Worker:
         self.conn = conn
         self.inflight = set()   # task ids assigned and not yet returned
         self.shipped = set()    # program keys this worker already holds
+        self.reclaimed = set()  # overdue task ids requeued elsewhere
 
 
 class _Task:
@@ -159,7 +160,8 @@ class ClusterBackend:
             pass
         if worker in self._workers:
             self._workers.remove(worker)
-        for tid in worker.inflight:
+        for tid in worker.inflight - worker.reclaimed:
+            # reclaimed tids were already requeued by _reclaim_overdue
             task = self._tasks.get(tid)
             if task is not None and not task.done:
                 task.worker = None
@@ -198,6 +200,7 @@ class ClusterBackend:
                 while worker.conn.poll(0):
                     kind, tid, value = worker.conn.recv()
                     worker.inflight.discard(tid)
+                    worker.reclaimed.discard(tid)
                     task = self._tasks.get(tid)
                     if task is None:
                         continue
@@ -235,22 +238,36 @@ class ClusterBackend:
                 self._queue.insert(0, tid)
 
     def _reclaim_overdue(self):
-        """Drop workers whose assigned task exceeded the deadline — a hung
-        (not dead) worker would otherwise stall the master forever."""
+        """Requeue tasks whose worker exceeded the deadline — a hung
+        (not dead) worker would otherwise stall the master forever.
+
+        The worker is QUARANTINED, not killed: its overdue tasks are
+        replayed elsewhere (deterministic per batch index, so whichever
+        result arrives first is the same bits), but the connection stays
+        open.  A slow-but-alive worker that eventually replies clears its
+        in-flight set and rejoins the idle pool; a truly hung one simply
+        never becomes idle again.  Killing on timeout would serially
+        destroy every worker whenever a legitimate batch outlives
+        ``task_timeout``."""
         if self.task_timeout is None:
             return
         now = time.monotonic()
         for worker in list(self._workers):
-            overdue = [tid for tid in worker.inflight
+            overdue = [tid for tid in worker.inflight - worker.reclaimed
                        if (t := self._tasks.get(tid)) is not None
                        and not t.done and t.assigned_at is not None
                        and now - t.assigned_at > self.task_timeout]
             if overdue:
                 logger.warning(
                     "cluster worker unresponsive for >%ss on task(s) %s; "
-                    "dropping it and replaying deterministically",
+                    "quarantining it and replaying deterministically",
                     self.task_timeout, overdue)
-                self._drop_worker(worker)
+                for tid in overdue:
+                    worker.reclaimed.add(tid)
+                    task = self._tasks[tid]
+                    task.worker = None
+                    task.assigned_at = None
+                    self._queue.append(tid)
 
     def _run_local(self, task):
         out = task.program.run(jax.random.key(task.seed), task.batch_index,
@@ -280,10 +297,12 @@ class ClusterBackend:
             if task.done:
                 break
             self._reclaim_overdue()
-            if (self.local_fallback and not self._workers
+            responsive = [w for w in self._workers if not w.reclaimed]
+            if (self.local_fallback and not responsive
                     and task.worker is None
                     and time.monotonic() > local_after):
-                # nobody attached (yet): compute the batch ourselves
+                # nobody attached (or everyone quarantined): compute the
+                # batch ourselves
                 try:
                     self._queue.remove(task_id)
                 except ValueError:
@@ -379,11 +398,16 @@ def worker_main(address, authkey=None, program_cache_size=32):
                 prog = programs[pkey]
                 out = prog.run(jax.random.key(seed), batch_index,
                                overrides, batch_size)
-                conn.send(("result", tid,
-                           {k: np.asarray(v) for k, v in out.items()}))
+                reply = ("result", tid,
+                         {k: np.asarray(v) for k, v in out.items()})
             except Exception as e:      # master replays deterministically
-                conn.send(("error", tid, repr(e)))
-    except EOFError:
+                reply = ("error", tid, repr(e))
+            # send OUTSIDE the compute guard: a broken master pipe must
+            # exit the worker cleanly, not masquerade as a task error
+            conn.send(reply)
+    except (EOFError, OSError):
+        # master closed/reset the connection (shutdown, or it quarantined
+        # and forgot us): exit cleanly instead of crashing mid-send
         pass
     finally:
         conn.close()

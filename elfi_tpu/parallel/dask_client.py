@@ -26,10 +26,12 @@ __all__ = ["Client"]
 
 
 def _run_batch(program, seed, batch_index, overrides, batch_size):
-    # runs on the dask worker: force CPU JAX (accelerators aren't
-    # shareable across worker processes) before first backend use
-    import os
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # runs on the dask worker: force CPU JAX and drop any inherited
+    # persistent compile cache BEFORE first backend use (the env var
+    # alone does not stop an accelerator plugin loaded via
+    # sitecustomize, and foreign XLA:CPU cache entries can SIGILL)
+    from elfi_tpu.parallel.backends import _mp_worker_init
+    _mp_worker_init()
     import jax
     out = program.run(jax.random.key(seed), batch_index, overrides,
                       batch_size)

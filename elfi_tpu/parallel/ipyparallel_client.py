@@ -21,8 +21,10 @@ __all__ = ["Client"]
 
 
 def _run_batch(program, seed, batch_index, overrides, batch_size):
-    import os
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # force CPU JAX and drop any inherited persistent compile cache
+    # BEFORE first backend use (see dask_client._run_batch)
+    from elfi_tpu.parallel.backends import _mp_worker_init
+    _mp_worker_init()
     import jax
     out = program.run(jax.random.key(seed), batch_index, overrides,
                       batch_size)

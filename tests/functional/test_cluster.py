@@ -245,3 +245,73 @@ def test_cluster_worker_death_reassigns():
         backend.close()
         if worker.poll() is None:
             worker.kill()
+
+
+def test_cluster_slow_worker_quarantined_not_killed():
+    """A worker that exceeds task_timeout is QUARANTINED (its task is
+    replayed elsewhere) but its connection survives; when it finally
+    replies it rejoins the idle pool.  Killing on timeout would serially
+    destroy every worker whenever a batch legitimately outlives the
+    deadline."""
+    from multiprocessing.connection import Client as ConnClient
+
+    import elfi_tpu as elfi
+    from elfi_tpu.parallel.cluster import ClusterBackend, parse_address
+
+    cmd = "echo {0} {seed}"
+    sim_single = elfi.tools.external_operation(cmd)
+    m = elfi.Model(name="cluster_echo_slow")
+    p = elfi.Prior("uniform", 0, 1, model=m, name="p")
+    elfi.Simulator(elfi.tools.vectorize(sim_single), p,
+                   observed=np.array([0.5, 1.0]), model=m, name="sim")
+    elfi.Distance("euclidean", m["sim"], model=m, name="d")
+
+    backend = ClusterBackend(task_timeout=0.5)
+    prev = elfi.get_client()
+    # a fake in-process "worker" that accepts its task but never replies
+    addr, key = parse_address(backend.address)
+    hung = ConnClient(tuple(addr), authkey=key)
+    try:
+        elfi.set_client(backend)
+        deadline = time.monotonic() + 30
+        backend._pump()
+        while not backend._workers and time.monotonic() < deadline:
+            time.sleep(0.05)
+            backend._pump()
+        assert len(backend._workers) == 1
+
+        rej = elfi.Rejection(m["d"], batch_size=20, seed=11)
+        res = rej.sample(10, n_sim=40, bar=False)   # must not stall
+        assert res.n_samples == 10
+
+        # the slow worker was quarantined, NOT dropped
+        assert len(backend._workers) == 1
+        w = backend._workers[0]
+        assert w.reclaimed, "task was never reclaimed from the hung worker"
+        assert w.inflight, "quarantined worker should keep its in-flight id"
+
+        # equality with a clean native run (replayed batches are exact)
+        elfi.set_client("native")
+        res2 = elfi.Rejection(m["d"], batch_size=20, seed=11).sample(
+            10, n_sim=40, bar=False)
+        np.testing.assert_array_equal(res.samples_array, res2.samples_array)
+        elfi.set_client(backend)
+
+        # the worker finally replies -> it rejoins the idle pool
+        assert hung.poll(5), "no task ever reached the fake worker"
+        msg = hung.recv()
+        assert msg[0] == "task"
+        tid = msg[1]
+        hung.send(("result", tid, {}))
+        deadline = time.monotonic() + 10
+        while w.inflight and time.monotonic() < deadline:
+            backend._pump()
+            time.sleep(0.02)
+        assert not w.inflight and not w.reclaimed
+    finally:
+        elfi.set_client(prev)
+        try:
+            hung.close()
+        except Exception:
+            pass
+        backend.close()
