@@ -637,6 +637,18 @@ class ScipyHostDistribution(Distribution):
         self.name = name or getattr(dist, "name", None) \
             or getattr(getattr(dist, "dist", None), "name", None) \
             or type(dist).__name__
+        # does rvs accept random_state?  Decided from the signature when
+        # inspectable (None = unknown, resolved on first call): a draw
+        # must stay a pure function of (seed, batch_index) — the
+        # determinism/replay contract — so unseedable rvs callables get
+        # the global-stream seeding fallback in :meth:`rvs` instead of a
+        # silent unseeded call.
+        import inspect
+        try:
+            params = inspect.signature(dist.rvs).parameters
+            self._rvs_seedable = True if "random_state" in params else None
+        except (TypeError, ValueError):
+            self._rvs_seedable = None
 
     def _random_state(self, key=None, random_state=None):
         if random_state is not None:
@@ -647,11 +659,29 @@ class ScipyHostDistribution(Distribution):
 
     def rvs(self, *params, size=1, key=None, random_state=None):
         rs = self._random_state(key, random_state)
-        try:
-            return self.scipy_dist.rvs(*params, size=size, random_state=rs)
-        except TypeError:
-            # plain rvs objects without the random_state kwarg
-            return self.scipy_dist.rvs(*params, size=size)
+        if self._rvs_seedable is not False:
+            try:
+                out = self.scipy_dist.rvs(*params, size=size,
+                                          random_state=rs)
+                self._rvs_seedable = True
+                return out
+            except TypeError:
+                if self._rvs_seedable:
+                    raise    # rvs takes random_state: a real param error
+                self._rvs_seedable = False
+        # plain rvs callables without the random_state kwarg presumably
+        # draw from the global numpy stream: seed it (scoped — the
+        # caller's global state is restored) so the draw stays a pure
+        # function of (seed, batch_index), keeping the deterministic
+        # replay contract the cluster/batch retry paths rely on
+        if isinstance(rs, np.random.RandomState):
+            saved = np.random.get_state()
+            np.random.set_state(rs.get_state())
+            try:
+                return self.scipy_dist.rvs(*params, size=size)
+            finally:
+                np.random.set_state(saved)
+        return self.scipy_dist.rvs(*params, size=size)
 
     def _delegate(self, method, x, *params):
         fn = getattr(self.scipy_dist, method, None)

@@ -98,19 +98,34 @@ class BackendBase:
         handle = self._tasks.pop(task_id)
         if isinstance(handle, tuple) and handle and handle[0] == "__error__":
             raise handle[1]
+        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
+            _, fn, args, kwargs = handle
+            return self._run_thunk(fn, args, kwargs)
         return self._materialize(handle)
 
     def _materialize(self, handle):
         return handle
 
+    def _run_thunk(self, fn, args, kwargs):
+        """Where ``apply()`` thunks execute at ``get_result`` time;
+        backends that can farm generic callables override this."""
+        return fn(*args, **kwargs)
+
     def is_ready(self, task_id):
+        handle = self._tasks.get(task_id)
+        if handle is None or isinstance(handle, tuple):
+            return True      # thunk/error records resolve at get_result
+        return self._handle_ready(handle)
+
+    def _handle_ready(self, handle):
         return True
 
     def remove_task(self, task_id):
         self._tasks.pop(task_id, None)
 
     def reset(self):
-        self._tasks.clear()
+        for tid in list(self._tasks):
+            self.remove_task(tid)
 
     def apply(self, fn, *args, **kwargs):
         """Generic task submission (used for farming MCMC chains in the
@@ -136,9 +151,6 @@ class NativeBackend(BackendBase):
                            batch_size)
 
     def _materialize(self, handle):
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return fn(*args, **kwargs)
         return jax.block_until_ready(handle)
 
 
@@ -211,9 +223,6 @@ class ShardedBackend(BackendBase):
         return fn(master_key, jnp.asarray(batch_index, jnp.uint32), overrides)
 
     def _materialize(self, handle):
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return fn(*args, **kwargs)
         return jax.block_until_ready(handle)
 
 
@@ -236,6 +245,27 @@ def _mp_worker_init():
 
 
 def _run_host_task(program, seed, batch_index, overrides, batch_size):
+    out = program.run(jax.random.key(seed), batch_index, overrides,
+                      batch_size)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _run_adapter_batch(program, seed, batch_index, overrides, batch_size,
+                       client_pid=None):
+    """Worker-side task body shared by the dask/ipyparallel adapters.
+
+    Forces the CPU backend and drops any inherited persistent compile
+    cache BEFORE first backend use (the env var alone does not stop an
+    accelerator plugin loaded via sitecustomize, and foreign XLA:CPU
+    cache entries can SIGILL) — but ONLY when running in a separate
+    process.  With a threaded / in-process cluster (dask
+    ``processes=False``, an in-process ipyparallel view) the task
+    executes inside the master session, and mutating the global JAX
+    config there would silently force the master to CPU and disable its
+    compile cache for the rest of the session."""
+    import os
+    if client_pid is None or os.getpid() != client_pid:
+        _mp_worker_init()
     out = program.run(jax.random.key(seed), batch_index, overrides,
                       batch_size)
     return {k: np.asarray(v) for k, v in out.items()}
@@ -289,17 +319,15 @@ class MultiprocessingBackend(BackendBase):
             raise
 
     def _materialize(self, handle):
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return self._result(self._pool.submit(fn, *args, **kwargs))
         return self._result(handle)
 
-    def is_ready(self, task_id):
-        h = self._tasks.get(task_id)
-        return h is not None and (not hasattr(h, "done") or h.done())
+    def _run_thunk(self, fn, args, kwargs):
+        return self._result(self._pool.submit(fn, *args, **kwargs))
 
-    def reset(self):
-        for h in self._tasks.values():
-            if hasattr(h, "cancel"):
-                h.cancel()
-        super().reset()
+    def _handle_ready(self, handle):
+        return handle.done()
+
+    def remove_task(self, task_id):
+        handle = self._tasks.pop(task_id, None)
+        if hasattr(handle, "cancel"):
+            handle.cancel()

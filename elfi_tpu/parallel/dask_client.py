@@ -15,40 +15,34 @@ the engine's determinism contract (a batch is a pure function of
 ``(seed, batch_index)``) makes results bit-identical to the native
 backend and failed/lost tasks replayable.  Intended for farming
 HOST-side / external simulators across machines; worker processes compute
-on CPU.
+on CPU (in-process/threaded workers inherit the master's backend — see
+:func:`~elfi_tpu.parallel.backends._run_adapter_batch`).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+from .backends import BackendBase, _run_adapter_batch
 
 __all__ = ["Client"]
 
-
-def _run_batch(program, seed, batch_index, overrides, batch_size):
-    # runs on the dask worker: force CPU JAX and drop any inherited
-    # persistent compile cache BEFORE first backend use (the env var
-    # alone does not stop an accelerator plugin loaded via
-    # sitecustomize, and foreign XLA:CPU cache entries can SIGILL)
-    from elfi_tpu.parallel.backends import _mp_worker_init
-    _mp_worker_init()
-    import jax
-    out = program.run(jax.random.key(seed), batch_index, overrides,
-                      batch_size)
-    return {k: np.asarray(v) for k, v in out.items()}
+# importable under the historical name (tests ship it to raw workers)
+_run_batch = _run_adapter_batch
 
 
-class Client:
+class Client(BackendBase):
     """BackendBase-protocol adapter over ``dask.distributed.Client``."""
 
     def __init__(self, address=None, dask_client=None, **kwargs):
+        super().__init__()
         if dask_client is None:
             from dask.distributed import Client as DaskClient
             dask_client = DaskClient(address, **kwargs) if address \
                 else DaskClient(**kwargs)
         self.dask_client = dask_client
-        self._tasks = {}
-        self._next = 0
 
     @property
     def num_cores(self):
@@ -57,28 +51,21 @@ class Client:
         except Exception:
             return 1
 
-    def submit(self, program, seed, batch_index, overrides, batch_size):
-        tid = self._next
-        self._next += 1
+    def _launch(self, program, seed, batch_index, overrides, batch_size):
         overrides = {k: np.asarray(v) for k, v in (overrides or {}).items()}
-        self._tasks[tid] = self.dask_client.submit(
-            _run_batch, program, seed, batch_index, overrides, batch_size,
-            pure=False)
-        return tid
+        return self.dask_client.submit(
+            _run_adapter_batch, program, seed, batch_index, overrides,
+            batch_size, os.getpid(), pure=False)
 
-    def get_result(self, task_id):
-        handle = self._tasks.pop(task_id)
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return self.dask_client.submit(fn, *args, **kwargs,
-                                           pure=False).result()
+    def _materialize(self, handle):
         return handle.result()
 
-    def is_ready(self, task_id):
-        handle = self._tasks.get(task_id)
-        if isinstance(handle, tuple):
-            return True
-        return handle is not None and handle.done()
+    def _handle_ready(self, handle):
+        return handle.done()
+
+    def _run_thunk(self, fn, args, kwargs):
+        return self.dask_client.submit(fn, *args, **kwargs,
+                                       pure=False).result()
 
     def remove_task(self, task_id):
         handle = self._tasks.pop(task_id, None)
@@ -87,16 +74,6 @@ class Client:
                 handle.cancel()
             except Exception:
                 pass
-
-    def reset(self):
-        for tid in list(self._tasks):
-            self.remove_task(tid)
-
-    def apply(self, fn, *args, **kwargs):
-        tid = self._next
-        self._next += 1
-        self._tasks[tid] = ("thunk", fn, args, kwargs)
-        return tid
 
     def apply_sync(self, fn, *args, **kwargs):
         return self.dask_client.submit(fn, *args, **kwargs,

@@ -10,64 +10,54 @@ Batch tasks dispatch through the controller's load-balanced view; the
 engine's determinism contract (a batch is a pure function of
 ``(seed, batch_index)``) keeps results bit-identical to the native
 backend.  Intended for farming HOST-side / external simulators; engine
-workers compute on CPU.
+workers compute on CPU (in-process views inherit the master's backend —
+see :func:`~elfi_tpu.parallel.backends._run_adapter_batch`).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+from .backends import BackendBase, _run_adapter_batch
 
 __all__ = ["Client"]
 
-
-def _run_batch(program, seed, batch_index, overrides, batch_size):
-    # force CPU JAX and drop any inherited persistent compile cache
-    # BEFORE first backend use (see dask_client._run_batch)
-    from elfi_tpu.parallel.backends import _mp_worker_init
-    _mp_worker_init()
-    import jax
-    out = program.run(jax.random.key(seed), batch_index, overrides,
-                      batch_size)
-    return {k: np.asarray(v) for k, v in out.items()}
+# importable under the historical name (tests ship it to raw workers)
+_run_batch = _run_adapter_batch
 
 
-class Client:
+class Client(BackendBase):
     """BackendBase-protocol adapter over
     ``ipyparallel.Client().load_balanced_view()``."""
 
     def __init__(self, ipp_client=None, **kwargs):
+        super().__init__()
         if ipp_client is None:
             import ipyparallel as ipp
             ipp_client = ipp.Client(**kwargs)
         self.ipp_client = ipp_client
         self.view = ipp_client.load_balanced_view()
-        self._tasks = {}
-        self._next = 0
 
     @property
     def num_cores(self):
         return max(1, len(self.view))
 
-    def submit(self, program, seed, batch_index, overrides, batch_size):
-        tid = self._next
-        self._next += 1
+    def _launch(self, program, seed, batch_index, overrides, batch_size):
         overrides = {k: np.asarray(v) for k, v in (overrides or {}).items()}
-        self._tasks[tid] = self.view.apply(
-            _run_batch, program, seed, batch_index, overrides, batch_size)
-        return tid
+        return self.view.apply(_run_adapter_batch, program, seed,
+                               batch_index, overrides, batch_size,
+                               os.getpid())
 
-    def get_result(self, task_id):
-        handle = self._tasks.pop(task_id)
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return self.view.apply(fn, *args, **kwargs).get()
+    def _materialize(self, handle):
         return handle.get()
 
-    def is_ready(self, task_id):
-        handle = self._tasks.get(task_id)
-        if isinstance(handle, tuple):
-            return True
-        return handle is not None and handle.ready()
+    def _handle_ready(self, handle):
+        return handle.ready()
+
+    def _run_thunk(self, fn, args, kwargs):
+        return self.view.apply(fn, *args, **kwargs).get()
 
     def remove_task(self, task_id):
         handle = self._tasks.pop(task_id, None)
@@ -85,12 +75,6 @@ class Client:
         except Exception:
             pass
         self._tasks.clear()
-
-    def apply(self, fn, *args, **kwargs):
-        tid = self._next
-        self._next += 1
-        self._tasks[tid] = ("thunk", fn, args, kwargs)
-        return tid
 
     def apply_sync(self, fn, *args, **kwargs):
         return self.view.apply_sync(fn, *args, **kwargs)

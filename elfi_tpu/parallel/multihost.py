@@ -135,9 +135,6 @@ class MultihostBackend(BackendBase):
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _materialize(self, handle):
-        if isinstance(handle, tuple) and handle and handle[0] == "thunk":
-            _, fn, args, kwargs = handle
-            return fn(*args, **kwargs)
         kind = handle[0]
         if kind == "local":
             return jax.block_until_ready(handle[1])

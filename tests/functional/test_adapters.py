@@ -65,3 +65,26 @@ def test_adapter_run_batch_forces_cpu_and_matches_native(module, tmp_path):
     ref = program.run(jax.random.key(3), 0, {}, 50)
     for k in ("d", "t1", "t2"):
         np.testing.assert_array_equal(out[k], np.asarray(ref[k]))
+
+
+def test_in_process_worker_leaves_master_state_alone():
+    """With a threaded/in-process cluster (dask ``processes=False``, an
+    in-process ipyparallel view) the task body executes inside the master
+    session: it must NOT force the master to CPU or drop its compile
+    cache.  The pid guard scopes the worker-env hardening to real worker
+    processes."""
+    import jax
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+    from elfi_tpu.parallel.backends import _run_adapter_batch
+
+    m = ma2.get_model(seed_obs=4)
+    program = elfi.compile.compile_program(m, ("d",))
+    env_before = os.environ.get("JAX_PLATFORMS")
+    cache_before = jax.config.jax_compilation_cache_dir
+    out = _run_adapter_batch(program, 3, 0, {}, 16,
+                             client_pid=os.getpid())
+    assert out["d"].shape == (16,)
+    assert os.environ.get("JAX_PLATFORMS") == env_before
+    assert jax.config.jax_compilation_cache_dir == cache_before

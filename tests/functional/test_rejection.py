@@ -38,22 +38,29 @@ def test_fused_equals_unfused(ma2):
 
 @pytest.mark.slow
 def test_fused_culled_merge_equals_flat_at_scale(ma2):
-    """At bench-scale batches the fused loop uses the threshold-culled
-    merge (``topk.MERGE_VARIANT='culled'``); it must stay BIT-identical to
-    the flat merge end-to-end.  batch_size 8192 > 4*small_k activates the
-    culled body, 10 scan iterations cross the count<=small_k boundary."""
+    """The fused loop's threshold-culled merge must stay BIT-identical to
+    the flat merge end-to-end.  The culled body only activates at
+    bench-scale batches (``CULL_MIN_BATCH`` = 2^18, ``CULL_SMALL_K`` =
+    4096), so the thresholds are patched DOWN to make batch_size 8192
+    take the culled path for real (8192 >= min batch, > 4*small_k; 10
+    scan iterations cross the count<=small_k boundary) — without the
+    patch both runs compile the flat merge and the test is vacuous."""
     from elfi_tpu.ops import topk as topk_mod
 
     assert topk_mod.MERGE_VARIANT == "culled"  # the shipped default
-    res_c = elfi.Rejection(ma2["d"], batch_size=8192, seed=17).sample(
-        50, n_sim=81920, fused=True, bar=False)
-    prev = topk_mod.MERGE_VARIANT
+    saved = (topk_mod.MERGE_VARIANT, topk_mod.CULL_SMALL_K,
+             topk_mod.CULL_MIN_BATCH)
     try:
+        topk_mod.CULL_SMALL_K = 512
+        topk_mod.CULL_MIN_BATCH = 8192
+        res_c = elfi.Rejection(ma2["d"], batch_size=8192, seed=17).sample(
+            50, n_sim=81920, fused=True, bar=False)
         topk_mod.MERGE_VARIANT = "flat"
         res_f = elfi.Rejection(ma2["d"], batch_size=8192, seed=17).sample(
             50, n_sim=81920, fused=True, bar=False)
     finally:
-        topk_mod.MERGE_VARIANT = prev
+        (topk_mod.MERGE_VARIANT, topk_mod.CULL_SMALL_K,
+         topk_mod.CULL_MIN_BATCH) = saved
     for k in res_c.outputs:
         np.testing.assert_array_equal(np.asarray(res_c.outputs[k]),
                                       np.asarray(res_f.outputs[k]),

@@ -167,3 +167,36 @@ def test_model_prior_with_host_distribution():
     assert g.shape == (3, 2)
     with pytest.raises(ValueError, match="host-path"):
         prior.traceable_logpdf()
+
+
+def test_unseedable_rvs_still_deterministic():
+    """An rvs callable WITHOUT the random_state kwarg must still give
+    draws that are a pure function of the key (the deterministic-replay
+    contract behind batch retry / cluster replay): the adapter seeds the
+    global numpy stream around the call and restores the caller's
+    state afterwards."""
+    class NoSeed:
+        def rvs(self, size=1):
+            return np.random.normal(size=size)
+
+    dist = d.ScipyHostDistribution(NoSeed())
+    saved = np.random.get_state()
+    a = dist.rvs(size=32, key=KEY)
+    b = dist.rvs(size=32, key=KEY)
+    np.testing.assert_array_equal(a, b)     # same key -> same bits
+    c = dist.rvs(size=32, key=jax.random.key(4))
+    assert not np.array_equal(a, c)         # different key -> new stream
+    after = np.random.get_state()           # caller's stream untouched
+    assert saved[0] == after[0]
+    np.testing.assert_array_equal(saved[1], after[1])
+    assert saved[2:] == after[2:]
+
+
+def test_seedable_rvs_param_error_surfaces():
+    """Once rvs is known to accept random_state, a TypeError from bad
+    parameters must propagate instead of being retried unseeded."""
+    dist = d.ScipyHostDistribution("gumbel_r")
+    dist.rvs(0.0, 1.0, size=3, key=KEY)     # resolves seedability
+    assert dist._rvs_seedable is True
+    with pytest.raises(TypeError):
+        dist.rvs(0.0, 1.0, 2.0, 3.0, size=3, key=KEY)
