@@ -386,8 +386,14 @@ class GPRegression:
         """Heuristic init + Gamma(mean=var) hyperpriors (reference
         ``gpy_regression.py:243-280``)."""
         y = self._y
-        noise_var = self.gp_params.get("noise_var") or \
-            max(np.max(y) ** 2 / 100.0, 1e-6)
+        noise_var = self.gp_params.get("noise_var")
+        if noise_var is None:
+            noise_var = max(np.max(y) ** 2 / 100.0, 1e-6)
+        else:
+            # respect a user-specified value — `or` would swallow an
+            # explicit 0 and silently substitute the ~1e4x larger
+            # heuristic; floor it so log-parametrisation stays finite
+            noise_var = max(float(noise_var), 1e-8)
         if self.custom_kernel:
             self.params = dict(self._kernel_params, noise=float(noise_var))
             self._prior_shapes = np.array(

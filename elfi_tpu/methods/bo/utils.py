@@ -30,6 +30,10 @@ def adam_minimize(obj, x0, steps, lr, lo, hi):
     # predicts / marginal likelihoods — a triangular solve or Cholesky
     # each, so halving evaluations matters inside the fused BO loops)
     value_and_grad = jax.value_and_grad(obj)
+    # best-iterate tracking starts from x0, so an out-of-bounds start
+    # (e.g. a perturbed hyperparameter restart below the log-noise floor)
+    # could otherwise be RETURNED by a "bounded" minimizer
+    x0 = jnp.clip(x0, lo, hi)
 
     def body(i, carry):
         x, m, v, best_x, best_f = carry

@@ -322,6 +322,13 @@ class BOLFI(BayesianOptimization):
                     "noise": v[3], "scales": gp_scales}
 
         master = jax.random.key(self.seed)
+        # sub-stream spacing for the loop's own draws: acquisition starts
+        # at off+t, acquisition noise at 2*off+t, refit restarts at
+        # 3*off+t.  off = max(n_acq, 1000) keeps the streams disjoint for
+        # ANY fit length (1000+t / 2000+t / 3000+t collide once
+        # n_acq > 1000) while staying bit-identical to the validated
+        # streams for the common n_acq <= 1000 case (off = 1000)
+        rng_off = max(n_acq, 1000)
 
         # The BO loop is SEGMENTED at refit boundaries into three small
         # programs (init / acquisition segment / refit) instead of one
@@ -364,7 +371,7 @@ class BOLFI(BayesianOptimization):
                 mask = (jnp.arange(cap) < n).astype(jnp.float32)
                 L, alpha = _posterior_factor(Xc, yc, mask, params)
                 Kinv = _posterior_inverse(L, mask)
-                kacq = jax.random.fold_in(rkey, 1000 + t)
+                kacq = jax.random.fold_in(rkey, rng_off + t)
                 starts = lo + (hi - lo) * jax.random.uniform(
                     kacq, (n_inits_acq, d))
                 lr = jnp.max(hi - lo) / 10.0
@@ -379,12 +386,19 @@ class BOLFI(BayesianOptimization):
                 theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
                                                 jnp.inf))]
                 if noise_var is not None:
-                    knoise = jax.random.fold_in(rkey, 2000 + t)
+                    knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
                     from ..ops.distributions import truncnorm as _tn
-                    a = (lo - theta) / noise_std
-                    b = (hi - theta) / noise_std
-                    theta = _tn.rvs(a, b, loc=theta, scale=noise_std,
-                                    size=(d,), key=knoise)
+                    # zero-noise dims pass theta through unchanged (the
+                    # host path's _add_noise skips them): with std=0 the
+                    # raw a/b are 0/0 = NaN whenever the LCB minimizer
+                    # lands exactly on a bound — which adam's clipping
+                    # makes common — so divide by a safe std and select
+                    safe = jnp.where(noise_std > 0, noise_std, 1.0)
+                    a = (lo - theta) / safe
+                    b = (hi - theta) / safe
+                    prop = _tn.rvs(a, b, loc=theta, scale=safe,
+                                   size=(d,), key=knoise)
+                    theta = jnp.where(noise_std > 0, prop, theta)
                 overrides = {p: theta[i][None]
                              for i, p in enumerate(pnames)}
                 y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
@@ -401,7 +415,7 @@ class BOLFI(BayesianOptimization):
             rkey = jax.random.fold_in(master, 0x5EED)
             mask = (jnp.arange(cap) < n).astype(jnp.float32)
             st = u + 0.5 * jax.random.normal(
-                jax.random.fold_in(rkey, 3000 + t), (n_restarts, 4))
+                jax.random.fold_in(rkey, 3 * rng_off + t), (n_restarts, 4))
             # in-loop refits warm-start from the current hyperparams (the
             # first restart IS u) so fewer Adam steps suffice than the
             # 250 the from-heuristic initial fit uses; 120 passed the

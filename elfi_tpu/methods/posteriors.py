@@ -71,14 +71,21 @@ class BolfiPosterior:
         return logpdf
 
     def _batched(self, what):
-        if what not in self._jit_cache:
+        # keyed on the GP factorisation object: a posterior held across a
+        # continued fit() must track the refitted model (the reference
+        # evaluates self.model.predict live each call), not serve a
+        # stale snapshot — the threshold, by contrast, is legitimately
+        # frozen at extraction time
+        factor = self.model._factor
+        cached = self._jit_cache.get(what)
+        if cached is None or cached[0] is not factor:
             single = self.traceable_logpdf()
             if what == "logpdf":
                 fn = jax.jit(jax.vmap(single))
             else:
                 fn = jax.jit(jax.vmap(jax.grad(single)))
-            self._jit_cache[what] = fn
-        return self._jit_cache[what]
+            self._jit_cache[what] = (factor, fn)
+        return self._jit_cache[what][1]
 
     # -- host API ----------------------------------------------------------------
     def logpdf(self, x):

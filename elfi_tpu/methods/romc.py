@@ -31,6 +31,7 @@ from ..compile.compiler import compile_program
 from ..model.extensions import ModelPrior
 from ..utils import get_sub_seed
 from .base import ParameterInference, _ProgressBar
+from .bo.utils import adam_minimize as _shared_adam_minimize
 from .results import RomcSample
 from .utils import compute_ess, flat_array_to_dict
 
@@ -66,33 +67,11 @@ class DeterministicObjective:
         return d.astype(jnp.float32) ** 2
 
 
-def _adam_minimize(obj, x0, steps, lr, lo, hi):
-    """Traceable bounded Adam descent tracking the best iterate."""
-    grad = jax.grad(obj)
-
-    def body(i, carry):
-        x, m, v, best_x, best_f = carry
-        f = obj(x)
-        better = f < best_f
-        best_x = jnp.where(better, x, best_x)
-        best_f = jnp.where(better, f, best_f)
-        g = grad(x)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-        m = 0.9 * m + 0.1 * g
-        v = 0.999 * v + 0.001 * g * g
-        mh = m / (1 - 0.9 ** (i + 1.0))
-        vh = v / (1 - 0.999 ** (i + 1.0))
-        step_lr = lr * 0.5 ** (3.0 * i / steps)
-        x = x - step_lr * mh / (jnp.sqrt(vh) + 1e-8)
-        x = jnp.clip(x, lo, hi)
-        return x, m, v, best_x, best_f
-
-    x, _, _, best_x, best_f = jax.lax.fori_loop(
-        0, steps, body, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0,
-                         obj(x0)))
-    f = obj(x)
-    better = f < best_f
-    return jnp.where(better, x, best_x), jnp.where(better, f, best_f)
+# the shared bounded Adam descent: value_and_grad evaluates the primal
+# once per step — the objectives here run the WHOLE compiled
+# simulator+distance program, so a separate obj(x)/grad(x) pair would
+# double the solve phase's FLOPs
+_adam_minimize = _shared_adam_minimize
 
 
 def line_search(f, th_star, vd, eps, K=10, eta=1., rep_lim=300):
@@ -453,7 +432,8 @@ class RomcPosterior:
                  nuisance=None, surrogate_used=False, prior=None,
                  left_lim=None, right_lim=None, eps_filter=None,
                  eps_region=None, eps_cutoff=None, parallelize=False,
-                 traceable_objective=None, keys=None, local_coeffs=None):
+                 traceable_objective=None, keys=None, local_coeffs=None,
+                 surrogate_fns=None, surrogate_aux=None):
         self.regions = regions
         self.funcs = objectives
         self.objectives_actual = objectives_actual
@@ -474,7 +454,19 @@ class RomcPosterior:
         self._keys = keys          # stacked frozen keys, one per region
         self._local_coeffs = None if local_coeffs is None else \
             jnp.asarray(np.stack(local_coeffs))
+        #: per-region stacked GP factorisations (use_bo fits) — when set,
+        #: the device paths evaluate the surrogates, like the reference's
+        #: ``self.funcs`` (romc.py:507-551)
+        self._surrogate_fns = surrogate_fns
+        self._surrogate_aux = surrogate_aux
         self._jit_cache = {}       # compiled count/sample programs
+
+    def _surrogate_mu(self, theta, aux_one):
+        """Surrogate objective value at theta under one region's GP."""
+        Xp, mask, L, alpha, params = aux_one
+        mu, _ = self._surrogate_fns.predict_noiseless(theta[None], Xp,
+                                                      mask, L, alpha, params)
+        return mu[0]
 
     # -- vectorised objective over regions ------------------------------------
     def _distances_traceable(self, theta):
@@ -482,6 +474,9 @@ class RomcPosterior:
         if self._local_coeffs is not None:
             feats = _quad_features(theta[None])[0]
             return self._local_coeffs @ feats
+        if self._surrogate_aux is not None:
+            return jax.vmap(lambda aux: self._surrogate_mu(theta, aux))(
+                self._surrogate_aux)
         return jax.vmap(lambda k: self._tr_obj(theta, k))(self._keys)
 
     def _indicator_counts(self, thetas):
@@ -576,6 +571,10 @@ class RomcPosterior:
                     dists = jax.vmap(lambda r_idx, ts: jax.vmap(
                         lambda t: dist_one(r_idx, t))(ts))(
                             jnp.arange(R), thetas)
+                elif self._surrogate_aux is not None:
+                    dists = jax.vmap(lambda aux, ts: jax.vmap(
+                        lambda t: self._surrogate_mu(t, aux))(ts))(
+                            self._surrogate_aux, thetas)
                 else:
                     dists = jax.vmap(lambda k, ts: jax.vmap(
                         lambda t: self._tr_obj(t, k))(ts))(keys, thetas)
@@ -912,12 +911,14 @@ class ROMC(ParameterInference):
         use_local = self.inference_state["_has_fitted_local_models"]
         regions, objectives, actual, nuisance, keys, coeffs = \
             [], [], [], [], [], []
+        region_probs = []
         for prob in self.optim_problems:
             if prob.state["region"]:
                 for jj, region in enumerate(prob.regions):
                     nuisance.append(prob.nuisance)
                     keys.append(prob.key)
                     regions.append(region)
+                    region_probs.append(prob)
                     actual.append(prob.objective)
                     if use_local:
                         objectives.append(prob.local_surrogates[jj])
@@ -926,6 +927,22 @@ class ROMC(ParameterInference):
                         objectives.append(prob.surrogate)
                     else:
                         objectives.append(prob.objective)
+        # device-path surrogate evaluation: stack every region's GP
+        # factorisation (one entry per region, same order as `keys`) so
+        # the posterior's vectorised pdf/sample programs evaluate the
+        # fitted surrogates — matching the reference, which evaluates
+        # ``self.funcs`` (the surrogates under use_bo, romc.py:507-551) —
+        # instead of silently falling back to full simulator runs
+        surrogate_fns = surrogate_aux = None
+        if use_surrogate and not use_local and region_probs:
+            gps = [p.bo_process for p in region_probs]
+            if (all(g is not None and g._factor is not None for g in gps)
+                    and all(g.fns is gps[0].fns for g in gps)
+                    and len({g._factor[0].shape for g in gps}) == 1):
+                surrogate_fns = gps[0].fns
+                surrogate_aux = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *[g._factor for g in gps])
         self.posterior = RomcPosterior(
             regions, objectives, actual, None, None, nuisance,
             use_local or use_surrogate, self.model_prior, self.left_lim,
@@ -934,7 +951,8 @@ class ROMC(ParameterInference):
             self.inference_args["parallelize"],
             traceable_objective=self._objective,
             keys=jnp.stack(keys) if keys else None,
-            local_coeffs=coeffs if use_local else None)
+            local_coeffs=coeffs if use_local else None,
+            surrogate_fns=surrogate_fns, surrogate_aux=surrogate_aux)
         self.inference_state["_has_defined_posterior"] = True
 
     # -- one-call training ------------------------------------------------------------

@@ -195,3 +195,41 @@ def test_expintvar(fitted_bolfi):
     assert pts.shape == (1, 2)
     for i, b in enumerate(gp.bounds):
         assert np.all(pts[:, i] >= b[0]) and np.all(pts[:, i] <= b[1])
+
+
+def test_bolfi_fused_zero_acq_noise_stays_finite(ma2_log):
+    """acq_noise_var=0 (the constructor default) through the fused loop:
+    the LCB minimizer's clipping frequently lands theta exactly on a
+    bound, where the raw truncnorm standardisation a=(lo-theta)/0 is
+    0/0=NaN; zero-noise dims must pass theta through unchanged (matching
+    the host path's _add_noise), keeping all evidence finite."""
+    bolfi = elfi.BOLFI(ma2_log["log_d"], batch_size=1, initial_evidence=12,
+                       update_interval=8,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                       acq_noise_var=0, seed=7)
+    bolfi.fit(n_evidence=24, bar=False)
+    gp = bolfi.target_model
+    assert gp.n_evidence == 24
+    assert np.all(np.isfinite(np.asarray(gp._x)))
+    assert np.all(np.isfinite(np.asarray(gp._y)))
+
+
+def test_posterior_tracks_continued_fit(ma2_log):
+    """A posterior held across a continued fit must evaluate the
+    refitted GP (the reference reads self.model.predict live per call),
+    not a stale jitted snapshot; the threshold stays frozen."""
+    from elfi_tpu.methods.posteriors import BolfiPosterior
+
+    bolfi = elfi.BOLFI(ma2_log["log_d"], batch_size=1, initial_evidence=12,
+                       update_interval=8,
+                       bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                       acq_noise_var=0.1, seed=21)
+    post = bolfi.fit(n_evidence=20, bar=False)
+    x = np.array([[0.5, 0.2], [-0.3, 0.1]], np.float32)
+    v1 = post.logpdf(x)                      # populates the jit cache
+    bolfi.fit(n_evidence=28, bar=False)      # continue: refits the GP
+    v2 = post.logpdf(x)
+    fresh = BolfiPosterior(bolfi.target_model, threshold=post.threshold,
+                           prior=post.prior)
+    np.testing.assert_allclose(v2, fresh.logpdf(x), rtol=1e-5, atol=1e-6)
+    assert not np.allclose(v1, v2)           # the refit moved the density

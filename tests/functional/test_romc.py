@@ -172,3 +172,25 @@ def test_batched_regions_match_per_problem_path():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(reg.limits, sequential[ind].limits,
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_romc_bo_posterior_evaluates_surrogates():
+    """Under use_bo the vectorised posterior must evaluate the fitted GP
+    surrogates (the reference's ``self.funcs``, romc.py:507-551), not
+    fall back to full simulator runs: every device-path distance column
+    must match the corresponding host surrogate callable."""
+    m, _ = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=11)
+    romc.solve_problems(n1=5, use_bo=True,
+                        optimizer_args={"n_evidence": 14}, seed=13)
+    romc.estimate_regions(eps_filter=0.5)
+    post = romc.posterior
+    assert post._surrogate_aux is not None, \
+        "surrogate factors were not stacked into the posterior"
+    thetas = np.linspace(-2.0, 2.0, 7, dtype=np.float32)[:, None]
+    dists = post._all_distances(thetas)
+    assert dists.shape == (7, len(post.regions))
+    for j, fn in enumerate(post.funcs):
+        want = np.array([fn(t) for t in thetas])
+        np.testing.assert_allclose(dists[:, j], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"region {j}")

@@ -155,3 +155,19 @@ def test_gp_inverse_predict_matches_solve(fitted_gp):
         np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_s),
                                    rtol=5e-2, atol=1e-3)
         assert np.all(np.asarray(var_i) > 0)
+
+
+def test_explicit_zero_noise_var_respected():
+    """noise_var=0 must produce a near-noiseless GP, not be silently
+    swallowed by a falsy check and replaced with the ~1e4x larger
+    max(y)^2/100 heuristic."""
+    import numpy as np
+    from elfi_tpu.methods.bo.gp import GPRegression
+
+    x = np.linspace(0.0, 1.0, 8)[:, None]
+    y = np.sin(3 * x).ravel() * 10.0
+    gp = GPRegression(["a"], bounds=[(0, 1)], noise_var=0)
+    gp.update(x, y, optimize=False)
+    assert gp.params["noise"] <= 1e-8
+    heuristic = max(np.max(y) ** 2 / 100.0, 1e-6)
+    assert gp.params["noise"] < heuristic / 100
