@@ -36,6 +36,16 @@ from ..model.model import node_uid
 __all__ = ["compile_program", "CompiledProgram"]
 
 
+def _adaptive_versions(model):
+    """(name, version) of every adaptive-distance holder in the model —
+    part of every program cache key, because the holders are SHARED
+    across model copies and mutate without bumping this copy's
+    revision."""
+    return tuple(sorted(
+        (n, st["_adaptive_state"].get("version", 0))
+        for n, st in model.dag.nodes.items() if st.get("adaptive")))
+
+
 def compile_program(model, outputs, override_names=()):
     """Return a (cached) :class:`CompiledProgram` for ``outputs`` of
     ``model`` with the given set of overridable node names."""
@@ -44,14 +54,25 @@ def compile_program(model, outputs, override_names=()):
     cache = getattr(model, "_program_cache", None)
     if cache is None:
         cache = model._program_cache = {}
-    key = (model.revision, outputs, override_names)
-    # the cache is SHARED between a model and its copies (revisions are
-    # globally unique), so never evict by revision — other live models may
-    # still use those entries; just bound the total size FIFO
-    while len(cache) > 64:
-        cache.pop(next(iter(cache)))
-    if key not in cache:
+    # adaptive-distance weights live in a holder dict SHARED across model
+    # copies, so mutating them through ONE copy's node changes the traced
+    # op for ALL copies — but only bumps that copy's revision.  Keying on
+    # the holder's own version keeps every copy's programs fresh (without
+    # it, SMC's round program replayed a stale baked len(w) and
+    # AdaptiveDistanceSMC crashed at rounds >= 3)
+    key = (model.revision, outputs, override_names,
+           _adaptive_versions(model))
+    if key in cache:
+        cache[key] = cache.pop(key)      # LRU: hot entries move to the end
+    else:
         cache[key] = CompiledProgram(model, outputs, override_names)
+        # the cache is SHARED between a model and its copies (revisions
+        # are globally unique), so never evict by revision — other live
+        # models may still use those entries; bound the total size,
+        # evicting oldest-touched first and never the entry just made
+        # (re-tracing a hot program costs a 0.5-15 s remote compile)
+        while len(cache) > 64:
+            cache.pop(next(k for k in cache if k != key))
     return cache[key]
 
 
@@ -63,6 +84,18 @@ class CompiledProgram:
         for o in self.outputs:
             if o not in model.dag:
                 raise ValueError(f"Unknown output node {o!r}")
+        # a typo'd override name would otherwise pass the runtime guards
+        # (it IS declared) yet never be consumed by the trace — the exact
+        # silently-ignored-override failure mode the guards exist for
+        for o in override_names:
+            if o not in model.dag:
+                raise ValueError(f"Unknown override node {o!r}")
+        #: canonical identity for derived caches (worker program caches,
+        #: sharded executables): includes the adaptive-holder versions at
+        #: trace time, which model.revision alone does not capture
+        self.cache_key = (model.revision, self.outputs,
+                          tuple(sorted(override_names)),
+                          _adaptive_versions(model))
         # ancestors of outputs, NOT descending past overridden nodes (the
         # reference achieves this with ReduceCompiler + loader injection)
         needed, stack = set(), list(self.outputs)
@@ -198,7 +231,12 @@ class CompiledProgram:
         vals = {}
         for name in self.order:
             if name in self.override_names:
-                vals[name] = overrides[name]
+                v = np.asarray(overrides[name])
+                # scalar overrides broadcast over the batch, matching the
+                # traced path — host ops that index/reshape per batch
+                # member must see the same (batch_size,) shape
+                vals[name] = np.broadcast_to(v, (batch_size,)) \
+                    if v.ndim == 0 else v
                 continue
             st = dag.get_state(name)
             parents = [vals[p] for p in dag.parents(name)]

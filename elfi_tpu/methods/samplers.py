@@ -623,7 +623,19 @@ class SMC(Sampler):
         if not self._populations:
             w = np.ones(pop.n_samples)
         else:
-            log_w = (np.asarray(self._prior.logpdf(theta))
+            prior_lp = np.asarray(self._prior.logpdf(theta))
+            # the fused proposal's redraw while_loop caps at 1000 rounds
+            # and cannot raise mid-scan; draws outside the prior support
+            # that survived it (near-degenerate proposal mass) would
+            # otherwise enter the population as silent zero-weight
+            # members — fail loudly like the host rvs path does
+            if not np.all(np.isfinite(prior_lp)):
+                raise RuntimeError(
+                    "Could not draw proposal points inside the prior "
+                    "support — accepted population contains "
+                    f"{int(np.sum(~np.isfinite(prior_lp)))} out-of-support "
+                    "draws (near-degenerate proposal?)")
+            log_w = (prior_lp
                      - np.asarray(GMDistribution.logpdf(theta,
                                                         *self._gm_params)))
             w = np.exp(log_w)

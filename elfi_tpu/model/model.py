@@ -470,6 +470,10 @@ class AdaptiveDistance(Discrepancy):
         st = self.adaptive_state
         st["w"] = [None]
         st.pop("scale", None)
+        # the holder is shared across model copies; its version joins the
+        # compiled-program cache key so EVERY copy (not just this one, via
+        # the revision bump below) retraces with the current weights
+        st["version"] = st.get("version", 0) + 1
         self.init_adaptation_round()
         self.model._invalidate_cache()
 
@@ -504,5 +508,6 @@ class AdaptiveDistance(Discrepancy):
         accumulators (reference ``elfi_model.py:1128-1133``)."""
         st = self.adaptive_state
         st["w"].append(1.0 / st["scale"])
+        st["version"] = st.get("version", 0) + 1  # see init_state
         self.init_adaptation_round()
         self.model._invalidate_cache()

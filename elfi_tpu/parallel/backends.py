@@ -182,9 +182,9 @@ class ShardedBackend(BackendBase):
     def _sharded_fn(self, program, batch_size, override_names):
         # NOT keyed by id(program): ids are reused after GC, which would
         # silently serve a stale executable for a different program.
-        key = (program.model.revision, program.outputs,
-               tuple(sorted(program.override_names)), batch_size,
-               override_names)
+        # program.cache_key also carries the adaptive-holder versions,
+        # which model.revision alone misses
+        key = (program.cache_key, batch_size, override_names)
         if key in self._compiled:
             return self._compiled[key]
         if batch_size % self.n_devices:

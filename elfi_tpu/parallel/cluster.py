@@ -51,6 +51,8 @@ import numpy as np
 
 import jax
 
+from .backends import BackendBase
+
 __all__ = ["ClusterBackend", "worker_main", "parse_address"]
 
 logger = logging.getLogger(__name__)
@@ -91,17 +93,22 @@ class _Task:
 
 
 def _program_key(program):
-    return (program.model.revision, program.outputs,
-            tuple(sorted(program.override_names)))
+    # the program's own canonical identity (includes adaptive-holder
+    # versions, which model.revision alone misses)
+    return program.cache_key
 
 
-class ClusterBackend:
-    """Task farm over externally-launched TCP workers (elastic)."""
+class ClusterBackend(BackendBase):
+    """Task farm over externally-launched TCP workers (elastic).
+
+    Subclasses :class:`~elfi_tpu.parallel.backends.BackendBase` for the
+    shared task-registry protocol (``apply`` thunks, error records);
+    batch submission/result plumbing is custom (queue + worker sockets).
+    """
 
     def __init__(self, address=("127.0.0.1", 0), authkey=None,
                  local_fallback=True, task_timeout=600):
-        self._tasks = {}
-        self._next = 0
+        super().__init__()
         self._queue = []                 # task ids waiting for a worker
         self._workers = []
         self._joined = []                # connections accepted by the thread
@@ -210,15 +217,23 @@ class ClusterBackend:
                     elif kind == "noprog":
                         # the worker's bounded program cache evicted this
                         # key after we marked it shipped — clear the mark
-                        # and requeue so the next send carries the program
+                        # and requeue so the next send carries the program.
+                        # Only when THIS worker still owns the assignment:
+                        # a late noprog for a task _reclaim_overdue already
+                        # requeued (or another worker now runs) would
+                        # double-queue it and orphan the live assignment
                         worker.shipped.discard(value)
-                        task.worker = None
-                        task.assigned_at = None
-                        self._queue.append(tid)
+                        if task.worker is worker and not task.done:
+                            task.worker = None
+                            task.assigned_at = None
+                            self._queue.append(tid)
                     else:
-                        task.error = RuntimeError(
-                            f"cluster worker failed: {value}")
-                        task.done = True
+                        # ignore a late error from a superseded assignment
+                        # — the reclaimed/replayed run decides the outcome
+                        if task.worker is worker and not task.done:
+                            task.error = RuntimeError(
+                                f"cluster worker failed: {value}")
+                            task.done = True
             except (EOFError, OSError):
                 self._drop_worker(worker)
         idle = [w for w in self._workers if not w.inflight]
@@ -287,10 +302,8 @@ class ClusterBackend:
         # NOTE: the task must stay registered while we wait — _pump matches
         # incoming results against self._tasks by id
         task = self._tasks[task_id]
-        if isinstance(task, tuple):          # thunk from apply()
-            self._tasks.pop(task_id)
-            _, fn, args, kwargs = task
-            return fn(*args, **kwargs)
+        if isinstance(task, tuple):     # thunk/error record from BackendBase
+            return super().get_result(task_id)
         local_after = time.monotonic() + 0.05
         while not task.done:
             self._pump()
@@ -316,24 +329,20 @@ class ClusterBackend:
         return task.result
 
     def remove_task(self, task_id):
-        self._tasks.pop(task_id, None)
+        task = self._tasks.pop(task_id, None)
         try:
             self._queue.remove(task_id)
         except ValueError:
             pass
-
-    def reset(self):
-        for tid in list(self._tasks):
-            self.remove_task(tid)
-
-    def apply(self, fn, *args, **kwargs):
-        tid = self._next
-        self._next += 1
-        self._tasks[tid] = ("thunk", fn, args, kwargs)
-        return tid
-
-    def apply_sync(self, fn, *args, **kwargs):
-        return fn(*args, **kwargs)
+        # a worker still computing the canceled batch must not stay
+        # "responsive and busy" forever: mark the assignment reclaimed so
+        # it stops suppressing local fallback and the worker rejoins the
+        # idle pool when (if) it finally replies — without this, one hung
+        # worker holding a canceled task (every SMC round cancels
+        # leftovers) stalled get_result indefinitely
+        worker = getattr(task, "worker", None)
+        if worker is not None:
+            worker.reclaimed.add(task_id)
 
     def close(self):
         self._accepting = False

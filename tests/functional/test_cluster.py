@@ -315,3 +315,51 @@ def test_cluster_slow_worker_quarantined_not_killed():
         except Exception:
             pass
         backend.close()
+
+
+def test_cluster_canceled_inflight_task_does_not_stall_master():
+    """remove_task on an in-flight batch (BatchHandler.cancel_pending does
+    exactly this at every SMC round advance) must not leave a hung worker
+    counted as responsive-and-busy forever: the canceled assignment is
+    marked reclaimed, so the next task completes via local fallback
+    instead of spinning until the worker replies."""
+    from multiprocessing.connection import Client as ConnClient
+
+    import elfi_tpu as elfi
+    from elfi_tpu.compile.compiler import compile_program
+    from elfi_tpu.models import ma2
+    from elfi_tpu.parallel.cluster import ClusterBackend, parse_address
+
+    m = ma2.get_model(seed_obs=4)
+    prog = compile_program(m, ("d",))
+    backend = ClusterBackend(task_timeout=0.5)
+    addr, key = parse_address(backend.address)
+    hung = ConnClient(tuple(addr), authkey=key)   # accepts, never replies
+    try:
+        deadline = time.monotonic() + 30
+        backend._pump()
+        while not backend._workers and time.monotonic() < deadline:
+            time.sleep(0.05)
+            backend._pump()
+        assert len(backend._workers) == 1
+
+        tid1 = backend.submit(prog, 3, 0, {}, 10)
+        deadline = time.monotonic() + 10
+        while backend._tasks[tid1].worker is None \
+                and time.monotonic() < deadline:
+            backend._pump()
+            time.sleep(0.02)
+        assert backend._tasks[tid1].worker is not None, "never assigned"
+
+        backend.remove_task(tid1)                 # the round-advance cancel
+        tid2 = backend.submit(prog, 3, 1, {}, 10)
+        t0 = time.monotonic()
+        res = backend.get_result(tid2)            # must not spin forever
+        assert time.monotonic() - t0 < 10
+        assert np.asarray(res["d"]).shape == (10,)
+    finally:
+        try:
+            hung.close()
+        except Exception:
+            pass
+        backend.close()

@@ -199,3 +199,18 @@ def test_adaptive_threshold_smc_fused(ma2):
     u = make().sample(100, max_iter=3, bar=False, fused=False)
     np.testing.assert_allclose(f1.sample_means_array, u.sample_means_array,
                                atol=0.3)
+
+
+def test_adaptive_distance_smc_three_rounds():
+    """Rounds >= 3 replay the SMC round program from the SHARED model
+    cache while the adaptive weights holder has grown — the program must
+    retrace per weights version (a stale executable with len(w) baked at
+    round 1 crashed round 2 with a broadcast shape error)."""
+    from elfi_tpu.models import ma2 as ma2_module
+    m = ma2_module.get_model(seed_obs=4)
+    elfi.AdaptiveDistance(m["S1"], m["S2"], model=m, name="ad")
+    smc = elfi.AdaptiveDistanceSMC(m["ad"], batch_size=100, seed=5)
+    res = smc.sample(20, rounds=3, quantile=0.5, bar=False)
+    assert res.n_samples == 20
+    # three adaptation rounds -> three frozen weight vectors recorded
+    assert len(res.adaptive_distance_w) == 3

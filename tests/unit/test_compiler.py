@@ -104,3 +104,62 @@ def test_undeclared_override_raises(ma2):
     # silently filter undeclared overrides out)
     with pytest.raises(ValueError, match="not declared"):
         prog.run(jax.random.key(0), 0, {"t1": jnp.zeros(8)}, batch_size=8)
+
+
+def test_unknown_override_name_raises_at_compile():
+    """A typo'd override name is declared (passes the runtime guards) yet
+    never consumed by the trace — it must fail at compile, not silently
+    simulate the un-overridden graph."""
+    from elfi_tpu.models import ma2
+    from elfi_tpu.compile.compiler import compile_program
+
+    m = ma2.get_model(seed_obs=4)
+    with pytest.raises(ValueError, match="Unknown override node"):
+        compile_program(m, ("d",), override_names=("t1_typo",))
+    with pytest.raises(ValueError, match="Unknown override node"):
+        m.generate(4, outputs=["t1"], with_values={"t1_typo": 0.5})
+
+
+def test_program_cache_tracks_shared_adaptive_state():
+    """The adaptive-distance weights holder is shared across model
+    copies; mutating it through a COPY must invalidate programs compiled
+    against the ORIGINAL (whose revision does not change)."""
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+    from elfi_tpu.compile.compiler import compile_program
+
+    m = ma2.get_model(seed_obs=4)
+    elfi.AdaptiveDistance(m["S1"], m["S2"], model=m, name="ad")
+    prog1 = compile_program(m, ("ad",))
+    copy = m.copy()
+    node = copy["ad"]
+    node.init_adaptation_round()
+    node.add_data(np.random.rand(16), np.random.rand(16))
+    node.update_distance()            # bumps the COPY's revision only
+    prog2 = compile_program(m, ("ad",))
+    assert prog2 is not prog1         # version keying caught the mutation
+    out = prog2.run(jax.random.key(0), 0, {}, batch_size=8)
+    assert np.asarray(out["ad"]).shape == (8, 2)   # two distance columns
+
+
+def test_host_scalar_override_broadcasts_like_traced():
+    """run_host must materialize a scalar override as (batch_size,), the
+    same shape the traced path broadcasts to — host ops that index per
+    batch member crash or mis-shape on a bare scalar."""
+    import elfi_tpu as elfi
+    from elfi_tpu.compile.compiler import compile_program
+
+    m = elfi.Model(name="host_scalar_override")
+    elfi.Prior("uniform", 0, 1, model=m, name="mu")
+
+    def sim(mu, batch_size=1, random_state=None, **kw):
+        mu = np.asarray(mu)
+        assert mu.shape == (batch_size,), mu.shape
+        return mu[:, None] + random_state.rand(batch_size, 3)
+
+    elfi.Simulator(sim, m["mu"], host=True,
+                   observed=np.array([.5, .5, .5]), model=m, name="sim")
+    prog = compile_program(m, ("sim", "mu"), override_names=("mu",))
+    out = prog.run(jax.random.key(0), 0, {"mu": 0.25}, batch_size=6)
+    assert np.asarray(out["mu"]).shape == (6,)
+    assert np.asarray(out["sim"]).shape == (6, 3)
