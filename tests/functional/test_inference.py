@@ -71,6 +71,17 @@ def test_adaptive_threshold_smc_accuracy(m6):
     check(res, 0.05)
 
 
+def test_adaptive_distance_smc_accuracy():
+    # own model: the adaptive distance node replaces the euclidean "d"
+    # (reference test_inference.py runs AdaptiveDistanceSMC in the same
+    # informative-data gate)
+    m = ma2.get_model(seed_obs=271)
+    elfi.AdaptiveDistance(m["S1"], m["S2"], model=m, name="ad")
+    smc = elfi.AdaptiveDistanceSMC(m["ad"], batch_size=2000, seed=10)
+    res = smc.sample(500, rounds=3, quantile=0.25, bar=False)
+    check(res, 0.05)
+
+
 def test_bolfi_accuracy(m6):
     elfi.Operation(jnp.log, m6["d"], model=m6, name="log_d")
     bolfi = elfi.BOLFI(m6["log_d"], batch_size=1, initial_evidence=24,
