@@ -108,14 +108,23 @@ def _bench_bolfi_ricker():
     # per-dim acquisition noise ~ (2.5% of each prior width)^2; a scalar
     # noise_var is badly scaled when ranges differ 16x (t2 vs t3)
     noise = {"t1": 0.01, "t2": 0.0015, "t3": 0.36}
+
+    def run(seed):
+        bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=40,
+                           update_interval=20,
+                           bounds={"t1": (3, 5), "t2": (0.05, 0.8),
+                                   "t3": (4, 16)},
+                           acq_noise_var=noise, seed=seed)
+        bolfi.fit(n_evidence=500, bar=False)
+        return bolfi.sample(1000, n_chains=4, bar=False)
+
+    # warmup: identical shapes (same evidence capacity, refit cadence and
+    # NUTS chain layout) -> all segment/sampler programs compile here, so
+    # the measured wall is steady-state like the other phases' (a cold
+    # persistent cache was measured to inflate the wall 23 s -> 56 s)
+    run(2)
     t0 = time.perf_counter()
-    bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=40,
-                       update_interval=20,
-                       bounds={"t1": (3, 5), "t2": (0.05, 0.8),
-                               "t3": (4, 16)},
-                       acq_noise_var=noise, seed=1)
-    bolfi.fit(n_evidence=500, bar=False)
-    res = bolfi.sample(1000, n_chains=4, bar=False)
+    res = run(1)
     wall = time.perf_counter() - t0
     means = {k: round(float(np.ravel(v)[0]), 3)
              for k, v in res.sample_means.items()}
