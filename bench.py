@@ -34,13 +34,13 @@ BASELINE_SIMS_PER_S = 254_000
 
 def _wait_for_device(deadline_s=900, probe_timeout_s=90):
     """Block until the TPU tunnel answers a trivial op, probing from
-    DISPOSABLE subprocesses.
+    DISPOSABLE subprocesses.  Returns True once a probe succeeds, False
+    if none did within ``deadline_s``.
 
     The axon tunnel drops/hangs intermittently (multiple multi-minute
-    outages observed 2026-08-17); a hung in-process XLA call cannot be
+    outages observed 2026-08-17/19); a hung in-process XLA call cannot be
     timed out, so the main process must not touch the device until a
-    subprocess proves the tunnel is alive.  Proceeds after ``deadline_s``
-    regardless — a wrong-but-attempted run beats a silent exit."""
+    subprocess proves the tunnel is alive."""
     import subprocess
     import sys
     smoke = ("import jax, jax.numpy as jnp; "
@@ -58,12 +58,13 @@ def _wait_for_device(deadline_s=900, probe_timeout_s=90):
                     print(f"# device up after {attempt} probes "
                           f"({time.monotonic() - t0:.0f}s)",
                           file=sys.stderr)
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         time.sleep(15)
-    print(f"# WARNING: device probe never succeeded within {deadline_s}s; "
-          "attempting the benchmark anyway", file=sys.stderr)
+    print(f"# WARNING: device probe never succeeded within {deadline_s}s",
+          file=sys.stderr)
+    return False
 
 
 def _bench_bolfi_ricker():
@@ -367,6 +368,7 @@ PHASES = {"bolfi": _phase_bolfi, "smc": _phase_smc, "bsl": _phase_bsl,
 PHASE_TIMEOUT_S = {"bolfi": 1500, "smc": 900, "bsl": 900,
                    "romc": 1500, "rejection": 1500}
 _MARKER = "BENCH_PHASE_RESULT:"
+_DOWN_MARKER = "BENCH_DEVICE_DOWN"
 
 
 def _setup_cache():
@@ -380,8 +382,13 @@ def _setup_cache():
 
 def _run_phase_inprocess(name):
     # fail fast inside a phase attempt: the parent's retry + global
-    # budget govern long outages
-    _wait_for_device(deadline_s=300)
+    # budget govern long outages.  A dead tunnel is reported with a
+    # distinct marker so the parent does NOT burn a phase attempt (a hung
+    # in-process attempt would otherwise cost the full phase timeout —
+    # observed 2026-08-19: a mid-bench outage hung the BSL phase 900 s).
+    if not _wait_for_device(deadline_s=300):
+        print(_DOWN_MARKER, flush=True)
+        raise SystemExit(3)
     _setup_cache()
     payload = PHASES[name]()
     print(_MARKER + json.dumps(payload), flush=True)
@@ -390,7 +397,8 @@ def _run_phase_inprocess(name):
 def _run_phase_isolated(name, budget_left_s, attempts=2):
     import subprocess
     import sys
-    for attempt in range(1, attempts + 1):
+    attempt = 0
+    while attempt < attempts:
         if budget_left_s() <= 0:
             print(f"# global bench budget exhausted; skipping {name}",
                   file=sys.stderr)
@@ -403,10 +411,19 @@ def _run_phase_isolated(name, budget_left_s, attempts=2):
             for line in reversed(r.stdout.splitlines()):
                 if line.startswith(_MARKER):
                     return json.loads(line[len(_MARKER):])
+            if _DOWN_MARKER in r.stdout:
+                # tunnel outage, not a phase failure: don't burn one of the
+                # phase's attempts — keep re-probing while budget remains
+                print(f"# device down before {name}; re-probing "
+                      f"({budget_left_s()}s budget left)", file=sys.stderr)
+                time.sleep(30)
+                continue
+            attempt += 1
             tail = (r.stdout + r.stderr)[-1500:]
             print(f"# phase {name} attempt {attempt} rc={r.returncode} "
                   f"produced no result: {tail!r}", file=sys.stderr)
         except subprocess.TimeoutExpired:
+            attempt += 1
             print(f"# phase {name} attempt {attempt} timed out after "
                   f"{timeout_s}s (tunnel hang?)", file=sys.stderr)
         if budget_left_s() <= 60:
