@@ -25,6 +25,7 @@ Every phase carries an ACCURACY VERDICT (BASELINE.md north star:
 
 import json
 import os
+import signal
 import time
 
 import numpy as np
@@ -364,9 +365,17 @@ def _phase_romc():
 
 PHASES = {"bolfi": _phase_bolfi, "smc": _phase_smc, "bsl": _phase_bsl,
           "romc": _phase_romc, "rejection": _bench_rejection}
+# Headline phase FIRST: in isolated mode each phase is its own process, so
+# the rbg-PRNG ordering constraint (rejection switches the default impl)
+# only binds --inline.  A late tunnel outage must not zero the headline.
+PHASE_ORDER = ("rejection", "bolfi", "smc", "bsl", "romc")
 # generous cold-compile headroom on top of the measured TPU walls
 PHASE_TIMEOUT_S = {"bolfi": 1500, "smc": 900, "bsl": 900,
                    "romc": 1500, "rejection": 1500}
+# A dead tunnel costs at most this much waiting per phase before the driver
+# moves on (round 3 died spinning on one phase until an external kill).
+OUTAGE_CAP_S = 600
+_OUTAGE_SLEEP_S = 30
 _MARKER = "BENCH_PHASE_RESULT:"
 _DOWN_MARKER = "BENCH_DEVICE_DOWN"
 
@@ -386,7 +395,11 @@ def _run_phase_inprocess(name):
     # distinct marker so the parent does NOT burn a phase attempt (a hung
     # in-process attempt would otherwise cost the full phase timeout —
     # observed 2026-08-19: a mid-bench outage hung the BSL phase 900 s).
-    if not _wait_for_device(deadline_s=300):
+    # The parent caps the probe deadline below its own subprocess timeout
+    # (env var) so the DOWN marker always lands before a TimeoutExpired
+    # would misclassify the outage as a phase failure.
+    probe_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "300"))
+    if not _wait_for_device(deadline_s=probe_s):
         print(_DOWN_MARKER, flush=True)
         raise SystemExit(3)
     _setup_cache()
@@ -398,25 +411,38 @@ def _run_phase_isolated(name, budget_left_s, attempts=2):
     import subprocess
     import sys
     attempt = 0
+    outage_logical_s = 0            # accounts mocked/no-op sleeps in tests
+    t_outage0 = None                # accounts real probe child wall time
     while attempt < attempts:
         if budget_left_s() <= 0:
             print(f"# global bench budget exhausted; skipping {name}",
                   file=sys.stderr)
             return None
         timeout_s = min(PHASE_TIMEOUT_S[name], max(60, budget_left_s()))
+        env = dict(os.environ)
+        env["BENCH_PROBE_DEADLINE_S"] = str(max(20, min(300, timeout_s - 60)))
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", name],
-                timeout=timeout_s, capture_output=True, text=True)
+                timeout=timeout_s, capture_output=True, text=True, env=env)
             for line in reversed(r.stdout.splitlines()):
                 if line.startswith(_MARKER):
                     return json.loads(line[len(_MARKER):])
             if _DOWN_MARKER in r.stdout:
                 # tunnel outage, not a phase failure: don't burn one of the
-                # phase's attempts — keep re-probing while budget remains
+                # phase's attempts — but cap total waiting so later phases
+                # still run (round 3 spun here until an external kill)
+                if t_outage0 is None:
+                    t_outage0 = time.monotonic()
+                outage_logical_s += _OUTAGE_SLEEP_S
+                spent = max(outage_logical_s, time.monotonic() - t_outage0)
+                if spent >= OUTAGE_CAP_S:
+                    print(f"# device down {spent:.0f}s before {name}; "
+                          f"moving on to the next phase", file=sys.stderr)
+                    return None
                 print(f"# device down before {name}; re-probing "
                       f"({budget_left_s()}s budget left)", file=sys.stderr)
-                time.sleep(30)
+                time.sleep(_OUTAGE_SLEEP_S)
                 continue
             attempt += 1
             tail = (r.stdout + r.stderr)[-1500:]
@@ -435,6 +461,58 @@ def _run_phase_isolated(name, budget_left_s, attempts=2):
 
 def _fail_acc(name):
     return {"ok": False, "error": f"{name} phase failed (device outage?)"}
+
+
+def _assemble(results):
+    """Build the final-format result dict from a (possibly partial)
+    phase-results mapping; missing phases report a failed accuracy gate."""
+    rej = results.get("rejection")
+    accuracy = {
+        "ma2_rejection": rej["ma2_acc"] if rej else _fail_acc("rejection"),
+        "ma2_rejection_pallas": (rej["pallas_acc"] if rej
+                                 else _fail_acc("rejection")),
+    }
+    for name, key in (("bolfi", "ricker_bolfi"), ("smc", "gauss2d_smc"),
+                      ("bsl", "ma2_bsl"), ("romc", "gnk_romc")):
+        r = results.get(name)
+        accuracy[key] = r["acc"] if r else _fail_acc(name)
+
+    # headline = the faster of the two rejection paths (both accuracy-gated)
+    sims_per_s = max(rej["xla_path_sims_per_s"],
+                     rej["pallas_kernel_sims_per_s"]) if rej else 0.0
+    detail = {
+        "accuracy_ok": bool(all(a["ok"] for a in accuracy.values())),
+        "accuracy": accuracy,
+        "bolfi_ricker_total_s": (results.get("bolfi") or {}).get("total_s"),
+        "bolfi_ricker_posterior_means": (results.get("bolfi") or {}).get("means"),
+        "bolfi_ricker_target_s": 60.0,
+        "smc_gauss2d_total_s": (results.get("smc") or {}).get("total_s"),
+        "smc_gauss2d_posterior_means": (results.get("smc") or {}).get("means"),
+        "bsl_ma2_warton_1000iter_total_s":
+            (results.get("bsl") or {}).get("total_s"),
+        "bsl_ma2_posterior_means": (results.get("bsl") or {}).get("means"),
+        "romc_gnk_total_s": (results.get("romc") or {}).get("total_s"),
+        "romc_gnk_posterior_means": (results.get("romc") or {}).get("means"),
+    }
+    if rej:
+        detail.update({k: v for k, v in rej.items()
+                       if k not in ("ma2_acc", "pallas_acc")})
+    return {
+        "metric": "MA2 rejection-ABC simulations/sec/chip",
+        "value": round(sims_per_s, 1),
+        "unit": "sims/s",
+        "vs_baseline": round(sims_per_s / BASELINE_SIMS_PER_S, 2),
+        "detail": detail,
+    }
+
+
+def _emit(results):
+    """Print the cumulative final-format JSON line for the phases done so
+    far.  The driver parses the LAST parseable line, so emitting after
+    every phase means a mid-run kill preserves everything that completed
+    (round 3's single end-of-run print lost two finished phases to an
+    external timeout)."""
+    print(json.dumps(_assemble(results)), flush=True)
 
 
 def main(argv=None):
@@ -458,51 +536,33 @@ def main(argv=None):
         _setup_cache()
         results = {n: PHASES[n]() for n in
                    ("bolfi", "smc", "bsl", "romc", "rejection")}
-    else:
-        _wait_for_device()              # cheap pre-check; phases re-probe
-        results = {}
-        for name in ("bolfi", "smc", "bsl", "romc", "rejection"):
-            results[name] = _run_phase_isolated(name, budget_left_s)
+        _emit(results)
+        return
 
-    rej = results["rejection"]
-    accuracy = {
-        "ma2_rejection": rej["ma2_acc"] if rej else _fail_acc("rejection"),
-        "ma2_rejection_pallas": (rej["pallas_acc"] if rej
-                                 else _fail_acc("rejection")),
-    }
-    for name, key in (("bolfi", "ricker_bolfi"), ("smc", "gauss2d_smc"),
-                      ("bsl", "ma2_bsl"), ("romc", "gnk_romc")):
-        r = results[name]
-        accuracy[key] = r["acc"] if r else _fail_acc(name)
+    results = {n: None for n in PHASE_ORDER}
 
-    # headline = the faster of the two rejection paths (both accuracy-gated)
-    sims_per_s = max(rej["xla_path_sims_per_s"],
-                     rej["pallas_kernel_sims_per_s"]) if rej else 0.0
-    detail = {
-        "accuracy_ok": bool(all(a["ok"] for a in accuracy.values())),
-        "accuracy": accuracy,
-        "bolfi_ricker_total_s": (results["bolfi"] or {}).get("total_s"),
-        "bolfi_ricker_posterior_means": (results["bolfi"] or {}).get("means"),
-        "bolfi_ricker_target_s": 60.0,
-        "smc_gauss2d_total_s": (results["smc"] or {}).get("total_s"),
-        "smc_gauss2d_posterior_means": (results["smc"] or {}).get("means"),
-        "bsl_ma2_warton_1000iter_total_s":
-            (results["bsl"] or {}).get("total_s"),
-        "bsl_ma2_posterior_means": (results["bsl"] or {}).get("means"),
-        "romc_gnk_total_s": (results["romc"] or {}).get("total_s"),
-        "romc_gnk_posterior_means": (results["romc"] or {}).get("means"),
-    }
-    if rej:
-        detail.update({k: v for k, v in rej.items()
-                       if k not in ("ma2_acc", "pallas_acc")})
-    result = {
-        "metric": "MA2 rejection-ABC simulations/sec/chip",
-        "value": round(sims_per_s, 1),
-        "unit": "sims/s",
-        "vs_baseline": round(sims_per_s / BASELINE_SIMS_PER_S, 2),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    # The driver kills a stalled bench with SIGTERM (round 3: rc 124 and
+    # zero output); flush the latest cumulative line on the way out so
+    # completed phases always land in the artifact.
+    def _on_term(signum, frame):
+        _emit(results)
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:                   # non-main thread (tests)
+        pass
+
+    _emit(results)          # a parseable line exists even if killed early
+    # cheap pre-check, capped by the global budget; phases re-probe
+    _wait_for_device(deadline_s=max(60, min(600, budget_left_s())))
+    for name in PHASE_ORDER:
+        if budget_left_s() <= 60:
+            print(f"# global bench budget exhausted; skipping {name}",
+                  file=sys.stderr)
+            continue
+        results[name] = _run_phase_isolated(name, budget_left_s)
+        _emit(results)
 
 
 if __name__ == "__main__":

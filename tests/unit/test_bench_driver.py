@@ -7,16 +7,23 @@ tunnel hung a proceeding phase for the full 900 s timeout).
 """
 
 import importlib.util
+import json
+import os
+import signal
 import subprocess
+import sys
 import time
 
 import pytest
+
+BENCH_PATH = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "bench.py"))
 
 
 @pytest.fixture()
 def bench(monkeypatch):
     spec = importlib.util.spec_from_file_location(
-        "bench_under_test", "bench.py")
+        "bench_under_test", BENCH_PATH)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     monkeypatch.setattr(time, "sleep", lambda s: None)
@@ -96,3 +103,96 @@ def test_phase_timeout_capped_by_budget(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "run", run)
     bench._run_phase_isolated("bolfi", lambda: 120)
     assert seen["timeout"] == 120
+
+
+def test_probe_deadline_below_parent_timeout(bench, monkeypatch):
+    """The child's device-probe deadline is capped below the parent's
+    subprocess timeout, so an outage surfaces as the DOWN marker rather
+    than TimeoutExpired (which would burn a phase attempt)."""
+    seen = {}
+
+    def run(*a, timeout=None, env=None, **k):
+        seen["timeout"] = timeout
+        seen["probe"] = float(env["BENCH_PROBE_DEADLINE_S"])
+        return _Result(bench._MARKER + "{}\n")
+
+    monkeypatch.setattr(subprocess, "run", run)
+    bench._run_phase_isolated("bolfi", lambda: 120)
+    assert seen["probe"] <= seen["timeout"] - 60 or seen["probe"] == 20
+    bench._run_phase_isolated("bolfi", lambda: 10_000)
+    assert seen["probe"] <= seen["timeout"] - 60
+
+
+def test_outage_wait_capped_per_phase(bench, monkeypatch):
+    """A persistent outage stops costing this phase after OUTAGE_CAP_S so
+    later phases still get attempted (round 3 spun on one phase until an
+    external kill zeroed the whole benchmark)."""
+    calls = {"n": 0}
+
+    def run(*a, **k):
+        calls["n"] += 1
+        return _Result(bench._DOWN_MARKER + "\n", 3)
+
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench._run_phase_isolated("smc", lambda: 1_000_000) is None
+    assert calls["n"] == bench.OUTAGE_CAP_S // bench._OUTAGE_SLEEP_S
+
+
+def test_headline_phase_runs_first(bench):
+    assert bench.PHASE_ORDER[0] == "rejection"
+
+
+_REJ_STUB = {"ma2_acc": {"ok": True}, "pallas_acc": {"ok": True},
+             "xla_path_sims_per_s": 1.0, "pallas_kernel_sims_per_s": 2.0}
+
+
+def test_cumulative_emission_per_phase(bench, monkeypatch, capsys):
+    """main() prints a full-format JSON line before any phase and after
+    every phase, so the last parseable line always reflects everything
+    completed so far."""
+    monkeypatch.setattr(bench, "_wait_for_device", lambda **k: True)
+    monkeypatch.setattr(
+        bench, "_run_phase_isolated",
+        lambda name, budget: _REJ_STUB if name == "rejection"
+        else {"total_s": 1.0, "means": {}, "acc": {"ok": True}})
+    bench.main([])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(lines) == 1 + len(bench.PHASE_ORDER)
+    parsed = [json.loads(ln) for ln in lines]
+    assert parsed[0]["value"] == 0.0                 # nothing done yet
+    assert parsed[1]["value"] == 2.0                 # rejection landed first
+    assert not parsed[1]["detail"]["accuracy_ok"]    # others still pending
+    assert parsed[-1]["detail"]["accuracy_ok"]
+
+
+def test_parent_killed_mid_run_leaves_parseable_line(tmp_path):
+    """Round-3 regression: the driver SIGTERMs a stalled bench.  Completed
+    phases must survive as the last parseable stdout line."""
+    script = tmp_path / "driver.py"
+    script.write_text(f"""
+import importlib.util, time
+spec = importlib.util.spec_from_file_location("b", {BENCH_PATH!r})
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+mod._wait_for_device = lambda **k: True
+def fake(name, budget, attempts=2):
+    if name == "rejection":
+        return {_REJ_STUB!r}
+    time.sleep(300)
+mod._run_phase_isolated = fake
+mod.main([])
+""")
+    p = subprocess.Popen([sys.executable, "-u", str(script)],
+                         stdout=subprocess.PIPE, text=True)
+    try:
+        lines = [p.stdout.readline(), p.stdout.readline()]
+        assert all(json.loads(ln) for ln in lines)   # initial + rejection
+        p.send_signal(signal.SIGTERM)                # driver kill mid-bolfi
+        rest, _ = p.communicate(timeout=30)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    last = [ln for ln in (lines + rest.splitlines()) if ln.strip()][-1]
+    out = json.loads(last)
+    assert out["value"] == 2.0
+    assert out["detail"]["accuracy"]["ma2_rejection"]["ok"]
