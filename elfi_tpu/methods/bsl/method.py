@@ -263,6 +263,26 @@ class BSL(ModelBased):
         feats = list(self.feature_names)
         B = self.batch_size
         fn = prog.traceable(B)
+        # multi-chip: shard each MH round's n_sim_round simulation batch
+        # over the mesh (same pattern as the fused rejection path,
+        # samplers.py) — the synthetic-likelihood mean/cov reductions then
+        # lower to ICI collectives instead of replicating every sim on
+        # every device
+        shard = None
+        from ...parallel.backends import ShardedBackend
+        if isinstance(self.client, ShardedBackend):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if B % self.client.n_devices:
+                raise ValueError(
+                    f"n_sim_round {B} not divisible by mesh size "
+                    f"{self.client.n_devices}")
+            batched = NamedSharding(self.client.mesh,
+                                    P(self.client.axis_name))
+
+            def shard(out):
+                return {k: jax.lax.with_sharding_constraint(v, batched)
+                        if (jnp.ndim(v) >= 1 and v.shape[0] == B) else v
+                        for k, v in out.items()}
         observed = jnp.asarray(np.asarray(self.observed, np.float64).ravel(),
                                jnp.float32)
         Lprop = jnp.linalg.cholesky(jnp.asarray(self.sigma_proposals,
@@ -275,6 +295,8 @@ class BSL(ModelBased):
             ov = {p: jnp.broadcast_to(theta[j], (B,))
                   for j, p in enumerate(pnames)}
             out = fn(master_key, i, ov)
+            if shard is not None:
+                out = shard(out)
             sx = jnp.column_stack([jnp.asarray(out[f]).reshape(B, -1)
                                    for f in feats])
             ll = loglik_t(sx, observed)
@@ -319,8 +341,12 @@ class BSL(ModelBased):
         else:
             lik_tag = getattr(lik, "__name__", repr(lik))
         cache = prog.__dict__.setdefault("_fused_bsl", {})
+        # the shard tag keys the cache because the constrained program
+        # embeds the mesh: a native run must not reuse a sharded build
+        shard_tag = None if shard is None else (self.client.n_devices,
+                                                self.client.axis_name)
         key_ = (B, n_samples, tuple(pnames), tuple(feats),
-                lik_tag, self.burn_in,
+                lik_tag, self.burn_in, shard_tag,
                 self.sigma_proposals.tobytes(),
                 None if self.logit_transform_bound is None
                 else self.logit_transform_bound.tobytes())
