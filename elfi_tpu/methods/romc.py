@@ -810,9 +810,17 @@ class ROMC(ParameterInference):
         self.inference_state["_has_estimated_regions"] = True
 
         if fit_models:
-            for i, prob in enumerate(self.optim_problems):
-                if accepted[i]:
-                    prob.fit_local_surrogate(**fit_models_args)
+            fit_surr = fit_models_args.get("use_surrogate", False)
+            if self._can_batch_regions(accepted, fit_surr):
+                # same shape of problem the batched regions fixed: up to
+                # n_accepted sequential lstsq fits on a ~30 ms-latency
+                # remote chip become ONE vmapped program
+                self._fit_local_surrogates_batched(accepted,
+                                                   **fit_models_args)
+            else:
+                for i, prob in enumerate(self.optim_problems):
+                    if accepted[i]:
+                        prob.fit_local_surrogate(**fit_models_args)
             self.inference_state["_has_fitted_local_models"] = True
 
         self._define_posterior(eps_cutoff=eps_cutoff)
@@ -905,6 +913,82 @@ class ROMC(ParameterInference):
             prob.state["region"] = True
             if use_surrogate:
                 prob.state["has_built_region_with_surrogate"] = True
+
+    def _fit_local_surrogates_batched(self, accepted, nof_samples=20,
+                                      use_surrogate=False, **_ignored):
+        """All accepted problems' quadratic local-surrogate fits as ONE
+        jitted vmapped program (each fit: sample the region box, evaluate
+        the objective/GP surrogate, quadratic least squares — reference
+        ``romc.py:1550-1595``). Matches OptimProblem.fit_local_surrogate
+        exactly: same per-region fold_in key schedule, same float32 box
+        sampling, same feature/lstsq formulation."""
+        probs = [p for p, a in zip(self.optim_problems, accepted) if a]
+        pairs = [(p, i, r) for p in probs for i, r in enumerate(p.regions)]
+        if not pairs:
+            return
+        D = self.dim
+        lo = np.stack([r.limits[:, 0] for _, _, r in pairs])
+        hi = np.stack([r.limits[:, 1] for _, _, r in pairs])
+        rot = np.stack([r.rotation for _, _, r in pairs])
+        center = np.stack([r.center for _, _, r in pairs])
+        keys = jnp.stack([jax.random.fold_in(p.key, 1000 + i)
+                          for p, i, _ in pairs])
+        use_surr = use_surrogate and all(p.surrogate is not None
+                                         for p in probs)
+        if use_surr:
+            fns = probs[0].bo_process.fns
+            aux = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[p.bo_process._factor for p, _, _ in pairs])
+
+            def f_of(theta, aux_one):
+                Xp, mask, L, alpha, params = aux_one
+                mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L,
+                                              alpha, params)
+                return mu[0]
+
+            closed_over = fns
+            cache_key = ("fit_surrogate", nof_samples)
+        else:
+            obj = self._objective
+            aux = jnp.stack([p.key for p, _, _ in pairs])
+
+            def f_of(theta, key):
+                return obj(theta, key)
+
+            closed_over = obj
+            cache_key = ("fit_objective", nof_samples)
+
+        # identity-guarded cache, same scheme as _build_regions_batched
+        cache = self.__dict__.setdefault("_local_fit_cache", {})
+        cached = cache.get(cache_key)
+        if cached is not None and cached[0] is closed_over:
+            fit = cached[1]
+        else:
+            def fit_one(lo1, hi1, rot1, c1, kdraw, aux_one):
+                u = jax.random.uniform(kdraw, (nof_samples, D))
+                box = lo1 + u * (hi1 - lo1)
+                x = box @ rot1.T + c1
+                y = jax.vmap(lambda t: f_of(t, aux_one))(x)
+                feats = _quad_features(x)
+                coef, *_ = jnp.linalg.lstsq(feats, y)
+                return coef
+
+            fit = jax.jit(jax.vmap(fit_one, in_axes=(0, 0, 0, 0, 0, 0)))
+            cache[cache_key] = (closed_over, fit)
+
+        coefs = np.asarray(fit(
+            jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+            jnp.asarray(rot, jnp.float32),
+            jnp.asarray(center, jnp.float32), keys, aux))
+        per_prob = {}
+        for (p, _, _), coef in zip(pairs, coefs):
+            per_prob.setdefault(id(p), (p, []))[1].append(np.asarray(coef))
+        for p, cs in per_prob.values():
+            p._local_coeffs = cs
+            p.local_surrogates = [_make_local_surrogate(c) for c in cs]
+            p.state["has_fit_local_surrogates"] = True
+            p.state["local_surrogates"] = True
 
     def _define_posterior(self, eps_cutoff):
         use_surrogate = self.inference_state["_has_fitted_surrogate_model"]

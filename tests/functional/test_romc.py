@@ -174,6 +174,37 @@ def test_batched_regions_match_per_problem_path():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_batched_local_fits_match_per_problem_path():
+    """fit_models=True as one vmapped program must reproduce the
+    sequential per-problem quadratic fits (same regions, same keys)."""
+    m, _ = build_gauss_1d()
+    romc = elfi.ROMC(m["d"], bounds=[(-2.5, 2.5)], seed=3)
+    romc.solve_problems(n1=10, seed=7)
+    romc.estimate_regions(eps_filter=0.2)
+    accepted = romc.inference_state["accepted"]
+    probs = [p for p, a in zip(romc.optim_problems, accepted) if a]
+    assert probs
+
+    sequential = {}
+    for p in probs:
+        p.fit_local_surrogate()
+        sequential[p.ind] = [np.asarray(c) for c in p._local_coeffs]
+        p._local_coeffs = None
+        p.local_surrogates = None
+
+    romc._fit_local_surrogates_batched(accepted)
+    for p in probs:
+        assert p.state["has_fit_local_surrogates"]
+        assert len(p._local_coeffs) == len(sequential[p.ind])
+        for got, want in zip(p._local_coeffs, sequential[p.ind]):
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"problem {p.ind}")
+        # the rebuilt host callables evaluate the batched coefficients
+        th = np.asarray([p.result.x_min], np.float32).ravel()
+        val = p.local_surrogates[0](th)
+        assert np.isfinite(val)
+
+
 def test_romc_bo_posterior_evaluates_surrogates():
     """Under use_bo the vectorised posterior must evaluate the fitted GP
     surrogates (the reference's ``self.funcs``, romc.py:507-551), not
