@@ -48,10 +48,15 @@ def _clear_jax_caches_between_modules():
     AND at fresh-compile sites; never reproducible for any single module).
     Clearing jax's in-memory caches per module keeps the process inside
     the regime where XLA:CPU is reliable; programs recompile on next use,
-    which individual modules do anyway."""
+    which individual modules do anyway.
+
+    ``ELFI_TPU_CLEAR_CACHES=0`` disables the workaround — used by the CI
+    job that runs each test module in its own pytest process (no single
+    process ever nears the ~200-program mark there)."""
     yield
-    import jax as _jax
-    _jax.clear_caches()
+    if os.environ.get("ELFI_TPU_CLEAR_CACHES", "1") != "0":
+        import jax as _jax
+        _jax.clear_caches()
 
 
 @pytest.fixture(scope="session", params=["native", "sharded"])
