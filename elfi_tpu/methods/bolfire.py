@@ -114,19 +114,24 @@ class BOLFIRE(ModelBased):
                                  "initialization points")
             initials = candidates[np.argsort(-lps)][:n_chains]
 
-        target = posterior.traceable_logpdf()
+        # fit data flows through target_args (NOT a closure) so the
+        # compiled sampler program is reused across fits/instances
+        target, target_args = posterior.traceable_logpdf_args()
         if algorithm == "nuts":
             chains = mcmc.nuts_chains(n_samples, initials, target,
                                       n_adapt=warmup, seed=self.seed,
                                       mesh=getattr(self.client, "mesh",
                                                    None),
+                                      target_args=target_args,
                                       **kwargs)
         else:
             sigmas = resolve_sigmas(self.parameter_names, sigma_proposals,
                                     self.target_model.bounds)
             chains = mcmc.metropolis_chains(n_samples, initials, target,
                                             sigmas, warmup=0,
-                                            seed=self.seed, **kwargs)
+                                            seed=self.seed,
+                                            target_args=target_args,
+                                            **kwargs)
         logger.info("%d chains of %d iterations acquired", n_chains,
                     n_samples)
         return BolfireSample(method_name="BOLFIRE", chains=chains,

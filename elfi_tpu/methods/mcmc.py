@@ -206,10 +206,19 @@ def _find_stepsize(key, target, grad, x0):
     return step
 
 
-@partial(jax.jit, static_argnames=("target", "n_iter", "n_adapt",
-                                   "max_depth"))
-def _nuts_chain(key, x0, target, n_iter, n_adapt, target_prob, max_depth,
-                stepsize0):
+def _nuts_chain_body(key, x0, target, n_iter, n_adapt, target_prob,
+                     max_depth, stepsize0, target_args=()):
+    """Unjitted single-chain NUTS implementation.
+
+    ``target_args`` is a pytree of per-run data threaded through as jit
+    ARGUMENTS by the jitted wrappers below.  Closing the target over that
+    data instead (the pre-round-4 design) bakes it into the program as
+    constants, so every new GP fit produced a byte-different payload —
+    a full remote XLA compile (9-70 s measured on the tunnel) hiding
+    inside every BOLFI ``sample()`` call."""
+    if target_args:
+        base = target
+        target = lambda x: base(x, *target_args)   # noqa: E731
     grad = jax.grad(target)
     key, kf = jax.random.split(key)
     step0 = jnp.where(stepsize0 > 0, stepsize0,
@@ -241,29 +250,56 @@ def _nuts_chain(key, x0, target, n_iter, n_adapt, target_prob, max_depth,
     return xs
 
 
+_nuts_chain = jax.jit(_nuts_chain_body,
+                      static_argnames=("target", "n_iter", "n_adapt",
+                                       "max_depth"))
+
+
+@partial(jax.jit, static_argnames=("target", "n_iter", "n_adapt",
+                                   "max_depth"))
+def _nuts_chains_jit(keys, x0s, target, n_iter, n_adapt, target_prob,
+                     max_depth, stepsize0, target_args):
+    """All chains as ONE top-level jitted vmap.  The cache key is the
+    static ``target`` identity; per-fit data (GP factors, thresholds,
+    prior boxes) must flow through ``target_args`` so a stable target
+    function compiles exactly once per process — and, because the traced
+    payload then contains no fit-dependent constants, hits the persistent
+    compile cache across processes too."""
+    def one(k, x):
+        return _nuts_chain_body(k, x, target, n_iter, n_adapt, target_prob,
+                                max_depth, stepsize0, target_args)
+    return jax.vmap(one)(keys, x0s)
+
+
 def nuts(n_iter, params0, target, grad_target=None, n_adapt=None,
          target_prob=0.6, max_depth=5, seed=0, stepsize=None, key=None,
-         **kwargs):
+         target_args=(), **kwargs):
     """Sample a traceable log-density with NUTS (reference API,
     ``mcmc.py:114-162``); returns (n_iter, d) including adaptation."""
     params0 = jnp.atleast_1d(jnp.asarray(params0, jnp.float32))
     n_adapt = n_adapt if n_adapt is not None else n_iter // 2
     if key is None:
         key = jax.random.key(seed)
-    t0 = float(np.asarray(target(params0)))
+    t0 = float(np.asarray(target(params0, *target_args)))
     if not np.isfinite(t0):
         raise ValueError(f"NUTS: bad initialization point {params0}, "
                          "logpdf -> -inf")
     xs = _nuts_chain(key, params0, target, int(n_iter), int(n_adapt),
                      float(target_prob), int(max_depth),
-                     jnp.float32(stepsize or 0.0))
+                     jnp.float32(stepsize or 0.0), target_args)
     return np.asarray(xs)
 
 
 def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
-                max_depth=5, seed=0, stepsize=None, mesh=None):
+                max_depth=5, seed=0, stepsize=None, mesh=None,
+                target_args=()):
     """Run several NUTS chains vmapped on device; returns
     (n_chains, n_iter, d).
+
+    ``target_args``: pytree of per-run data, passed to
+    ``target(x, *target_args)`` as traced jit arguments.  Pass fit-varying
+    data here (NOT closed over) so repeated sampling against re-fitted
+    surrogates reuses one compiled program.
 
     With ``mesh`` given (and ``n_chains`` divisible by the mesh size) the
     chain axis is sharded across the mesh devices — the reference farms
@@ -276,20 +312,21 @@ def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
     n_chains = x0s.shape[0]
     n_adapt = n_adapt if n_adapt is not None else n_iter // 2
     keys = jax.random.split(jax.random.key(seed), n_chains)
-    runner = jax.vmap(lambda k, x: _nuts_chain(
-        k, x, target, int(n_iter), int(n_adapt), float(target_prob),
-        int(max_depth), jnp.float32(stepsize or 0.0)))
     if mesh is not None and n_chains % mesh.devices.size == 0:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         keys = jax.device_put(keys, sh)
         x0s = jax.device_put(x0s, sh)
-    return np.asarray(runner(keys, x0s))
+    return np.asarray(_nuts_chains_jit(
+        keys, x0s, target, int(n_iter), int(n_adapt), float(target_prob),
+        int(max_depth), jnp.float32(stepsize or 0.0), target_args))
 
 
-@partial(jax.jit, static_argnames=("target", "n_total"))
-def _metropolis_chain(key, x0, target, n_total, sigma):
+def _metropolis_chain_body(key, x0, target, n_total, sigma, target_args=()):
+    if target_args:
+        base = target
+        target = lambda x: base(x, *target_args)   # noqa: E731
     logp0 = target(x0)
 
     def body(carry, key_i):
@@ -308,30 +345,42 @@ def _metropolis_chain(key, x0, target, n_total, sigma):
     return xs
 
 
+_metropolis_chain = jax.jit(_metropolis_chain_body,
+                            static_argnames=("target", "n_total"))
+
+
+@partial(jax.jit, static_argnames=("target", "n_total"))
+def _metropolis_chains_jit(keys, x0s, target, n_total, sigma, target_args):
+    def one(k, x):
+        return _metropolis_chain_body(k, x, target, n_total, sigma,
+                                      target_args)
+    return jax.vmap(one)(keys, x0s)
+
+
 def metropolis(n_samples, params0, target, sigma_proposals, warmup=0, seed=0,
-               key=None):
+               key=None, target_args=()):
     """Random-walk Metropolis with Gaussian proposals (reference
     ``mcmc.py:379-429``)."""
     params0 = jnp.atleast_1d(jnp.asarray(params0, jnp.float32))
     sigma = jnp.asarray(sigma_proposals, jnp.float32)
     if key is None:
         key = jax.random.key(seed)
-    t0 = float(np.asarray(target(params0)))
+    t0 = float(np.asarray(target(params0, *target_args)))
     if not np.isfinite(t0):
         raise ValueError(f"Metropolis: bad initialization point {params0}")
     xs = _metropolis_chain(key, params0, target, int(n_samples + warmup),
-                           sigma)
+                           sigma, target_args)
     return np.asarray(xs)[warmup:]
 
 
 def metropolis_chains(n_samples, x0s, target, sigma_proposals, warmup=0,
-                      seed=0):
+                      seed=0, target_args=()):
     x0s = jnp.atleast_2d(jnp.asarray(x0s, jnp.float32))
     sigma = jnp.asarray(sigma_proposals, jnp.float32)
     keys = jax.random.split(jax.random.key(seed), x0s.shape[0])
-    runner = jax.vmap(lambda k, x: _metropolis_chain(
-        k, x, target, int(n_samples + warmup), sigma))
-    return np.asarray(runner(keys, x0s))[:, warmup:]
+    return np.asarray(_metropolis_chains_jit(
+        keys, x0s, target, int(n_samples + warmup), sigma,
+        target_args))[:, warmup:]
 
 
 # ---------------------------------------------------------------------------

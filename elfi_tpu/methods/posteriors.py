@@ -13,6 +13,60 @@ from .bo.utils import minimize
 __all__ = ["BolfiPosterior", "BolfirePosterior", "RomcPosterior"]
 
 
+# -- stable sampler targets ----------------------------------------------------
+#
+# NUTS/Metropolis jit programs key on the TARGET FUNCTION IDENTITY, and a
+# traced payload embeds everything the target closes over as constants.
+# Closing over the GP factorisation therefore costs a full remote XLA
+# compile per fit (9-70 s measured over the TPU tunnel, dwarfing the ~1 s
+# sampling run).  These factories return per-kernel-bundle targets that take
+# ALL fit-dependent data (threshold, GP factor, prior box) as one pytree
+# argument, so one compiled sampler program serves every fit.
+
+def _bolfi_box_target_for(fns):
+    """Phi((h-mu)/sigma) * uniform-box prior, data-only target."""
+    tgt = getattr(fns, "_bolfi_box_target", None)
+    if tgt is None:
+        def tgt(theta, data):
+            h, Xp, mask, Kinv, alpha, params, lo, hi, logconst = data
+            mu, var = fns.predict_inv(theta[None], Xp, mask, Kinv, alpha,
+                                      params)
+            loglik = special.norm_logcdf((h - mu[0]) / jnp.sqrt(var[0]))
+            in_box = jnp.all((theta >= lo) & (theta <= hi))
+            return jnp.where(in_box, loglik + logconst, -jnp.inf)
+
+        fns._bolfi_box_target = tgt
+    return tgt
+
+
+def _bolfire_box_target_for(fns):
+    """exp(GP mean of log-ratio) * uniform-box prior, data-only target."""
+    tgt = getattr(fns, "_bolfire_box_target", None)
+    if tgt is None:
+        def tgt(theta, data):
+            Xp, mask, L, alpha, params, lo, hi, logconst = data
+            mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L, alpha,
+                                          params)
+            in_box = jnp.all((theta >= lo) & (theta <= hi))
+            return jnp.where(in_box, mu[0] + logconst, -jnp.inf)
+
+        fns._bolfire_box_target = tgt
+    return tgt
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("fn",))
+def _vmapped_logpdf(fn, x, data):
+    return jax.vmap(lambda th: fn(th, data))(x)
+
+
+@_partial(jax.jit, static_argnames=("fn",))
+def _vmapped_grad_logpdf(fn, x, data):
+    return jax.vmap(lambda th: jax.grad(fn)(th, data))(x)
+
+
 class BolfiPosterior:
     r"""BOLFI approximate posterior: L(theta) ~ Phi((h - mu)/sigma) with GP
     mean/std (Gutmann & Corander 2016; reference ``posteriors.py:21-256``).
@@ -52,23 +106,53 @@ class BolfiPosterior:
         self._jit_cache = {}
 
     # -- traceable target ------------------------------------------------------
-    def traceable_logpdf(self):
-        # cached-inverse predict: NUTS runs thousands of sequential
-        # leapfrog evaluations of this closure — a triangular solve per
-        # evaluation is latency-bound on TPU, a matvec is not
-        pred = self.model.device_predict(noiseless=False, use_inverse=True)
+    def traceable_logpdf_args(self):
+        """``(target, target_args)`` with target(theta, *target_args).
+
+        All fit-dependent data — threshold, padded GP factorisation
+        (with the cached masked K^-1: NUTS runs thousands of sequential
+        leapfrog evaluations, and a triangular solve per evaluation is
+        latency-bound on TPU while a matvec is not), and uniform-prior
+        boxes — flows through ``target_args`` as traced jit arguments.
+        For uniform-box priors (detected via :meth:`ModelPrior.box`) the
+        target function is a per-kernel-bundle STABLE object, so sampler
+        jit caches hit across fits and across BOLFI instances."""
+        fns = self.model.fns
+        Xp, mask, L, alpha, params = self.model._factor
+        Kinv = fns.posterior_inverse(L, mask)
         h = jnp.float32(self.threshold)
-        prior_logpdf = self.prior.traceable_logpdf() \
-            if self.prior is not None else None
+        box = self.prior.box() if self.prior is not None else None
+        if self.prior is None or box is not None:
+            if box is None:
+                d = self.dim
+                lo = jnp.full((d,), -jnp.inf, jnp.float32)
+                hi = jnp.full((d,), jnp.inf, jnp.float32)
+                lc = jnp.float32(0.0)
+            else:
+                lo, hi = jnp.asarray(box[0]), jnp.asarray(box[1])
+                lc = jnp.float32(box[2])
+            data = (h, Xp, mask, Kinv, alpha, params, lo, hi, lc)
+            return _bolfi_box_target_for(fns), (data,)
 
-        def logpdf(theta):
-            mu, var = pred(theta[None])
+        # general prior: its traced subgraph is CODE (per-call closure),
+        # but the GP data still flows through args, so the payload is
+        # fit-independent and the persistent compile cache still hits
+        prior_logpdf = self.prior.traceable_logpdf()
+
+        def target(theta, data):
+            h, Xp, mask, Kinv, alpha, params = data
+            mu, var = fns.predict_inv(theta[None], Xp, mask, Kinv, alpha,
+                                      params)
             loglik = special.norm_logcdf((h - mu[0]) / jnp.sqrt(var[0]))
-            lp = prior_logpdf(theta[None])[0] if prior_logpdf is not None \
-                else 0.0
-            return loglik + lp
+            return loglik + prior_logpdf(theta[None])[0]
 
-        return logpdf
+        return target, ((h, Xp, mask, Kinv, alpha, params),)
+
+    def traceable_logpdf(self):
+        """Traceable ``theta (d,) -> scalar`` closure (back-compat; prefer
+        :meth:`traceable_logpdf_args` inside jitted samplers)."""
+        fn, (data,) = self.traceable_logpdf_args()
+        return lambda theta: fn(theta, data)
 
     def _batched(self, what):
         # keyed on the GP factorisation object: a posterior held across a
@@ -79,11 +163,12 @@ class BolfiPosterior:
         factor = self.model._factor
         cached = self._jit_cache.get(what)
         if cached is None or cached[0] is not factor:
-            single = self.traceable_logpdf()
+            single, (data,) = self.traceable_logpdf_args()
             if what == "logpdf":
-                fn = jax.jit(jax.vmap(single))
+                fn = lambda x: _vmapped_logpdf(single, x, data)  # noqa: E731
             else:
-                fn = jax.jit(jax.vmap(jax.grad(single)))
+                fn = lambda x: _vmapped_grad_logpdf(  # noqa: E731
+                    single, x, data)
             self._jit_cache[what] = (factor, fn)
         return self._jit_cache[what][1]
 
@@ -133,23 +218,44 @@ class BolfirePosterior:
         self.random_state = np.random.RandomState(seed)
         self._jit_cache = {}
 
-    def traceable_logpdf(self):
-        pred = self.model.device_predict(noiseless=True)
+    def traceable_logpdf_args(self):
+        """``(target, target_args)`` — fit data as jit args (see
+        :meth:`BolfiPosterior.traceable_logpdf_args`)."""
+        fns = self.model.fns
+        Xp, mask, L, alpha, params = self.model._factor
+        box = self.prior.box() if self.prior is not None else None
+        if box is not None:
+            data = (Xp, mask, L, alpha, params, jnp.asarray(box[0]),
+                    jnp.asarray(box[1]), jnp.float32(box[2]))
+            return _bolfire_box_target_for(fns), (data,)
+
         prior_logpdf = self.prior.traceable_logpdf()
 
-        def logpdf(theta):
-            mu, _ = pred(theta[None])
+        def target(theta, data):
+            Xp, mask, L, alpha, params = data
+            mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L, alpha,
+                                          params)
             return mu[0] + prior_logpdf(theta[None])[0]
 
-        return logpdf
+        return target, ((Xp, mask, L, alpha, params),)
+
+    def traceable_logpdf(self):
+        fn, (data,) = self.traceable_logpdf_args()
+        return lambda theta: fn(theta, data)
 
     def _batched(self, what):
-        if what not in self._jit_cache:
-            single = self.traceable_logpdf()
-            fn = jax.jit(jax.vmap(single)) if what == "logpdf" else \
-                jax.jit(jax.vmap(jax.grad(single)))
-            self._jit_cache[what] = fn
-        return self._jit_cache[what]
+        # keyed on the factorisation so a refitted surrogate is tracked
+        factor = self.model._factor
+        cached = self._jit_cache.get(what)
+        if cached is None or cached[0] is not factor:
+            single, (data,) = self.traceable_logpdf_args()
+            if what == "logpdf":
+                fn = lambda x: _vmapped_logpdf(single, x, data)  # noqa: E731
+            else:
+                fn = lambda x: _vmapped_grad_logpdf(  # noqa: E731
+                    single, x, data)
+            self._jit_cache[what] = (factor, fn)
+        return self._jit_cache[what][1]
 
     def logpdf(self, x):
         x = np.asarray(x, np.float32)

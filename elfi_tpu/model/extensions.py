@@ -67,6 +67,51 @@ class ModelPrior:
         arr = np.column_stack(cols)
         return arr if arr.shape[1] > 1 else arr  # always 2d (n, dim)
 
+    def box(self):
+        """``(lo, hi, logconst)`` numpy arrays/float if the joint prior is
+        an independent uniform box over the parameters, else ``None``.
+
+        A box prior is pure DATA (bounds + a normalisation constant), so
+        samplers can target one stable module-level log-density with the
+        box passed as jit arguments — one compiled NUTS program serves
+        every fit and every model instance, instead of a per-closure
+        recompile.  Non-uniform or hierarchical priors return ``None`` and
+        take the general traced-closure path."""
+        lo = {}
+        hi = {}
+        logconst = 0.0
+        pset = set(self.parameter_names)
+        consts = {}
+        for name in self._order:
+            st = self._states[name]
+            if st["kind"] == "constant":
+                consts[name] = st["value"]
+                continue
+            if st["kind"] != "rv" or name not in pset:
+                return None
+            if getattr(st["distribution"], "name", None) != "uniform":
+                return None
+            pv = []
+            for p in self._parents[name]:
+                v = consts.get(p)
+                if v is None or np.ndim(v) != 0:
+                    return None
+                pv.append(float(v))
+            loc = pv[0] if len(pv) > 0 else 0.0
+            scale = pv[1] if len(pv) > 1 else 1.0
+            if not (scale > 0.0):
+                return None
+            lo[name] = loc
+            hi[name] = loc + scale
+            logconst -= float(np.log(scale))
+        if set(lo) != pset:
+            return None
+        return (np.asarray([lo[n] for n in self.parameter_names],
+                           np.float32),
+                np.asarray([hi[n] for n in self.parameter_names],
+                           np.float32),
+                float(logconst))
+
     # -- density ------------------------------------------------------------------
     def _logpdf_traceable(self):
         order = self._order

@@ -87,3 +87,49 @@ def test_nuts_chains_sharded_equals_single():
         flat = chains[:, 100:, :].reshape(-1, 2)
         assert np.all(np.abs(flat.mean(0)) < 0.15)
         assert np.all(np.abs(flat.std(0) - 1) < 0.2)
+
+
+def test_nuts_target_args_matches_closure():
+    """Data passed via target_args must give the same chain as a closure
+    baking the same data in (the args form is what keeps one compiled
+    program serving every BOLFI fit)."""
+    mu = np.array([0.7, -0.3], np.float32)
+
+    def target_closure(x):
+        return -0.5 * jnp.sum((x - jnp.asarray(mu)) ** 2)
+
+    def target_args(x, mu_):
+        return -0.5 * jnp.sum((x - mu_) ** 2)
+
+    x0s = np.zeros((2, 2), np.float32)
+    a = mcmc.nuts_chains(300, x0s, target_closure, seed=5)
+    b = mcmc.nuts_chains(300, x0s, target_args, seed=5,
+                         target_args=(jnp.asarray(mu),))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_nuts_chains_one_compile_across_datasets():
+    """A stable target with varying target_args must reuse ONE compiled
+    program — the regression that made every BOLFI sample() pay a full
+    remote XLA compile (data was closed over, not passed)."""
+
+    def target(x, mu_):
+        return -0.5 * jnp.sum((x - mu_) ** 2)
+
+    x0s = np.zeros((2, 2), np.float32)
+    mcmc.nuts_chains(150, x0s, target, seed=1,
+                     target_args=(jnp.ones(2),))
+    before = mcmc._nuts_chains_jit._cache_size()
+    out = mcmc.nuts_chains(150, x0s, target, seed=1,
+                           target_args=(-jnp.ones(2),))
+    assert mcmc._nuts_chains_jit._cache_size() == before
+    # and the new data actually flowed through
+    assert abs(out[:, 75:, :].mean() + 1.0) < 0.2
+
+
+def test_metropolis_target_args():
+    s = mcmc.metropolis_chains(
+        4000, np.zeros((2, 1), np.float32),
+        lambda x, v: -0.5 * jnp.sum(x ** 2) / v, np.array([0.4]),
+        warmup=500, seed=1, target_args=(jnp.float32(0.25),))
+    np.testing.assert_allclose(np.asarray(s).std(), 0.5, atol=0.08)

@@ -141,3 +141,71 @@ def test_import_does_not_initialize_jax_backend():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0 and "LAZY_OK" in out.stdout, \
         out.stdout + out.stderr
+
+
+class TestModelPriorBox:
+    """ModelPrior.box(): uniform-box detection feeding the stable sampler
+    targets (methods/posteriors.py)."""
+
+    def test_uniform_box_detected(self):
+        import elfi_tpu as elfi
+        from elfi_tpu.model.extensions import ModelPrior
+
+        m = elfi.Model(name="box_m")
+        elfi.Prior("uniform", 3, 2, model=m, name="a")
+        elfi.Prior("uniform", -1, 4, model=m, name="b")
+        elfi.Simulator(lambda a, b, batch_size, key: a + b,
+                       m["a"], m["b"], observed=0.0, model=m, name="S")
+        box = ModelPrior(m, parameter_names=["a", "b"]).box()
+        assert box is not None
+        lo, hi, logconst = box
+        np.testing.assert_allclose(lo, [3.0, -1.0])
+        np.testing.assert_allclose(hi, [5.0, 3.0])
+        np.testing.assert_allclose(logconst, -np.log(2.0) - np.log(4.0))
+
+    def test_default_uniform_is_unit_box(self):
+        import elfi_tpu as elfi
+        from elfi_tpu.model.extensions import ModelPrior
+
+        m = elfi.Model(name="box_unit")
+        elfi.Prior("uniform", model=m, name="a")
+        box = ModelPrior(m, parameter_names=["a"]).box()
+        lo, hi, logconst = box
+        np.testing.assert_allclose(lo, [0.0])
+        np.testing.assert_allclose(hi, [1.0])
+        assert logconst == 0.0
+
+    def test_non_uniform_returns_none(self):
+        import elfi_tpu as elfi
+        from elfi_tpu.model.extensions import ModelPrior
+
+        m = elfi.Model(name="box_norm")
+        elfi.Prior("norm", 0, 1, model=m, name="a")
+        assert ModelPrior(m, parameter_names=["a"]).box() is None
+
+    def test_hierarchical_returns_none(self):
+        import elfi_tpu as elfi
+        from elfi_tpu.model.extensions import ModelPrior
+
+        m = elfi.Model(name="box_hier")
+        elfi.Prior("uniform", 0, 1, model=m, name="a")
+        elfi.Prior("uniform", m["a"], 1, model=m, name="b")
+        assert ModelPrior(m, parameter_names=["a", "b"]).box() is None
+
+    def test_box_logpdf_matches_traced(self):
+        import jax.numpy as jnp
+
+        import elfi_tpu as elfi
+        from elfi_tpu.model.extensions import ModelPrior
+
+        m = elfi.Model(name="box_parity")
+        elfi.Prior("uniform", 3, 2, model=m, name="a")
+        elfi.Prior("uniform", -1, 4, model=m, name="b")
+        prior = ModelPrior(m, parameter_names=["a", "b"])
+        lo, hi, logconst = prior.box()
+        xs = np.array([[3.5, 0.0], [4.9, 2.9], [2.9, 0.0], [3.5, 3.1]],
+                      np.float32)
+        expected = prior.logpdf(xs)
+        in_box = np.all((xs >= lo) & (xs <= hi), axis=1)
+        got = np.where(in_box, logconst, -np.inf)
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
