@@ -118,6 +118,7 @@ class CompiledProgram:
         d = self.__dict__.copy()
         d["_observed"] = {}
         d["_jitted"] = {}
+        d.pop("_traceables", None)   # closures are process-local
         # compiled fused-loop chunk closures attached by samplers are
         # process-local (jitted locals, unpicklable) — drop them too
         d.pop("_fused_chunks", None)
@@ -150,7 +151,15 @@ class CompiledProgram:
     # -- tracing -------------------------------------------------------------
     def traceable(self, batch_size):
         """Pure function ``(master_key, batch_index, overrides_dict) ->
-        {output: array}`` suitable for embedding in jit / scan / shard_map."""
+        {output: array}`` suitable for embedding in jit / scan / shard_map.
+
+        Cached per batch_size: callers embed the returned closure in jitted
+        programs whose caches key on the closure's IDENTITY, so returning a
+        fresh object each call would force a retrace (and, with baked
+        constants, a recompile) per inference instance."""
+        cached = self.__dict__.setdefault("_traceables", {}).get(batch_size)
+        if cached is not None:
+            return cached
         dag = self.model.dag
         order = self.order
         states = {n: dag.get_state(n) for n in order}
@@ -214,6 +223,7 @@ class CompiledProgram:
                     vals[name] = st["op"](*parents, **kwargs)
             return {o: vals[o] for o in self.outputs}
 
+        self._traceables[batch_size] = fn
         return fn
 
     def jitted(self, batch_size):

@@ -10,8 +10,12 @@ client worker, ``bolfi.py:541-580``)."""
 from __future__ import annotations
 
 import logging
+from functools import partial
+from typing import NamedTuple
 
 import numpy as np
+
+import jax
 
 from ..model.extensions import ModelPrior
 from .base import ParameterInference
@@ -27,6 +31,198 @@ from . import mcmc
 logger = logging.getLogger(__name__)
 
 __all__ = ["BayesianOptimization", "BOLFI"]
+
+
+# -- fused BO loop programs ------------------------------------------------------
+#
+# The segmented fused BO loop (init / acquisition segment / refit) runs as
+# three jitted programs.  They are built by a module-level factory memoized
+# on a static, hashable ``spec`` plus the (program-cache-stable) model
+# traceables, so BOLFI instances sharing a configuration — the
+# Testbench-replication and bench warmup/measure cases — reuse ONE set of
+# compiled programs.  Built as per-fit locals instead (the pre-round-4
+# design), every instance re-traced all three programs and re-loaded their
+# persistent-cache entries: pure host/tunnel overhead inside the measured
+# fit wall.
+#
+# The factory deliberately reproduces the validated per-fit CLOSURE code
+# verbatim, with the per-fit numeric constants (bounds, acquisition noise
+# std, kernel scales) captured as device arrays — NOT passed as traced jit
+# arguments and NOT rebuilt from python inside the trace.  Both variants
+# were measured 2026-08-18/19 and produce byte-different programs: the
+# args-based one was bit-identical on CPU yet XLA:TPU's changed fusion
+# re-rolled the chaotic BO trajectories and collapsed the Ricker seed-3
+# posterior (t1/t3 pinned at the bounds — the documented GP noise-collapse
+# failure mode); the rebuilt-constants one already diverges at the jaxpr
+# level (/tmp jaxpr A/B, 2026-08-19).  Capturing the same constants from
+# the same closure source keeps the jaxpr — and therefore the TPU binary
+# and the validated trajectories — exactly the ones the 4-seed Ricker
+# accuracy study passed.
+
+class _FusedBOSpec(NamedTuple):
+    """Static (hashable) configuration of one fused BO fit.  Float fields
+    are tuples of Python floats, converted back to the exact float32
+    device constants the programs capture."""
+    cap: int
+    d: int
+    n_init: int
+    n_restarts: int
+    n_inits_acq: int
+    rng_off: int
+    pnames: tuple
+    target_name: str
+    lo: tuple
+    hi: tuple
+    noise_std: tuple | None   # None = no acquisition noise
+    gp_scales: tuple
+
+
+_FUSED_BO_PROGRAMS = {}
+_FUSED_BO_PROGRAMS_CAP = 8   # LRU bound: evicted entries GC like the
+                             # old per-fit closures did
+
+
+def _fused_bo_programs(spec, init_fn, sim_fn):
+    """``(init_jit, segment_jit, refit_jit)`` for one fused-BO config.
+
+    init: draw + simulate the initial evidence and MAP-fit the GP.
+    segment: one refit-to-refit window of acquisitions as a lax.scan.
+    refit: scheduled warm-started MAP hyperparameter refit.
+    """
+    memo_key = (spec, init_fn, sim_fn)
+    progs = _FUSED_BO_PROGRAMS.get(memo_key)
+    if progs is not None:
+        return progs
+
+    import jax
+    import jax.numpy as jnp
+    from .bo.gp import (_posterior_factor, _posterior_inverse,
+                        gp_neg_lcb_obj_inv, optimize_restarts_core)
+    from .bo.utils import adam_minimize
+
+    cap, d, n_init = spec.cap, spec.d, spec.n_init
+    n_restarts, n_inits_acq = spec.n_restarts, spec.n_inits_acq
+    rng_off = spec.rng_off
+    pnames, target_name = spec.pnames, spec.target_name
+    lo = jnp.asarray(np.asarray(spec.lo, np.float32))
+    hi = jnp.asarray(np.asarray(spec.hi, np.float32))
+    noise_var = spec.noise_std   # None or per-dim std tuple
+    if noise_var is not None:
+        noise_std = jnp.asarray(np.asarray(spec.noise_std, np.float32))
+    gp_scales = jnp.asarray(np.asarray(spec.gp_scales, np.float32))
+
+    def heuristic_params(y):
+        # initial log-hyperparams + Gamma prior shapes from the initial
+        # evidence (mirrors GPRegression._init_hyperparams)
+        ls = jnp.float32(1.0 / 3.0)
+        kv = (jnp.max(jnp.abs(y)) / 3.0) ** 2 + 1e-6
+        bv = kv / 4.0 + 1e-6
+        nv = jnp.maximum(jnp.max(y) ** 2 / 100.0, 1e-6)
+        u0 = jnp.log(jnp.stack([kv, ls, bv, nv]))
+        shapes = jnp.stack([kv, ls, bv, jnp.float32(0.0)])
+        return u0, shapes
+
+    def u_to_params(u):
+        v = jnp.exp(u)
+        return {"sigma2": v[0], "ell": v[1], "bias": v[2],
+                "noise": v[3], "scales": gp_scales}
+
+    def init_run(master):
+        out = init_fn(master, jnp.uint32(0), {})
+        y0 = out[target_name].reshape(-1).astype(jnp.float32)
+        X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
+                       axis=1).astype(jnp.float32)
+        Xp = jnp.zeros((cap, d), jnp.float32).at[:n_init].set(X0)
+        yp = jnp.zeros((cap,), jnp.float32).at[:n_init].set(y0)
+        mask0 = (jnp.arange(cap) < n_init).astype(jnp.float32)
+        u0, shapes = heuristic_params(y0)
+        rkey = jax.random.fold_in(master, 0x5EED)
+        starts0 = u0 + 0.5 * jax.random.normal(
+            jax.random.fold_in(rkey, 0), (n_restarts, 4))
+        u0, _ = optimize_restarts_core(
+            starts0.at[0].set(u0), Xp, yp, mask0, shapes,
+            jnp.float32(0.1), const_params={"scales": gp_scales})
+        return Xp, yp, u0, shapes
+
+    def segment_run(master, Xc, yc, u, n, ts, betas_seg):
+        # Each scan step computes the masked K^-1 once (one cho_solve) so
+        # the 150-step acquisition Adam descent does a parallel matvec per
+        # evaluation instead of a sequential cap-deep triangular solve.
+        # (A Sherman-Morrison rank-1-carried K^-1 was measured 2026-08-17
+        # and REJECTED: on BO-clustered evidence the float32 bordering
+        # update drifts 5-15% within one 20-step refit window — enough to
+        # corrupt the LCB variance and derail acquisition; the Ricker t3
+        # posterior landed 5 SD off.)
+        rkey = jax.random.fold_in(master, 0x5EED)
+        params = u_to_params(u)
+
+        def step(carry, inp):
+            Xc, yc, n = carry
+            t, beta = inp
+            mask = (jnp.arange(cap) < n).astype(jnp.float32)
+            L, alpha = _posterior_factor(Xc, yc, mask, params)
+            Kinv = _posterior_inverse(L, mask)
+            kacq = jax.random.fold_in(rkey, rng_off + t)
+            starts = lo + (hi - lo) * jax.random.uniform(
+                kacq, (n_inits_acq, d))
+            lr = jnp.max(hi - lo) / 10.0
+
+            def one(x0):
+                return adam_minimize(
+                    lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
+                                                  alpha, params, beta),
+                    x0, 150, lr, lo, hi)
+
+            xs, fs = jax.vmap(one)(starts)
+            theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
+                                            jnp.inf))]
+            if noise_var is not None:
+                knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
+                from ..ops.distributions import truncnorm as _tn
+                # zero-noise dims pass theta through unchanged (the
+                # host path's _add_noise skips them): with std=0 the
+                # raw a/b are 0/0 = NaN whenever the LCB minimizer
+                # lands exactly on a bound — which adam's clipping
+                # makes common — so divide by a safe std and select
+                safe = jnp.where(noise_std > 0, noise_std, 1.0)
+                a = (lo - theta) / safe
+                b = (hi - theta) / safe
+                prop = _tn.rvs(a, b, loc=theta, scale=safe,
+                               size=(d,), key=knoise)
+                theta = jnp.where(noise_std > 0, prop, theta)
+            overrides = {p: theta[i][None]
+                         for i, p in enumerate(pnames)}
+            y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
+                           overrides)[target_name].reshape(())
+            Xc = Xc.at[n].set(theta)
+            yc = yc.at[n].set(y_new)
+            return (Xc, yc, n + 1), None
+
+        (Xc, yc, n), _ = jax.lax.scan(
+            step, (Xc, yc, n), (ts, betas_seg))
+        return Xc, yc, n
+
+    def refit_run(master, Xc, yc, u, shapes, n, t):
+        rkey = jax.random.fold_in(master, 0x5EED)
+        mask = (jnp.arange(cap) < n).astype(jnp.float32)
+        st = u + 0.5 * jax.random.normal(
+            jax.random.fold_in(rkey, 3 * rng_off + t), (n_restarts, 4))
+        # in-loop refits warm-start from the current hyperparams (the
+        # first restart IS u) so fewer Adam steps suffice than the
+        # 250 the from-heuristic initial fit uses; 120 passed the
+        # 4-seed Ricker accuracy check (2026-08-17, worst deviation
+        # well under the 2-SD bench gate) — each refit is a
+        # sequential Cholesky chain, the dominant refit cost
+        u_new, _ = optimize_restarts_core(
+            st.at[0].set(u), Xc, yc, mask, shapes, jnp.float32(0.1),
+            steps=120, const_params={"scales": gp_scales})
+        return u_new
+
+    progs = (jax.jit(init_run), jax.jit(segment_run), jax.jit(refit_run))
+    if len(_FUSED_BO_PROGRAMS) >= _FUSED_BO_PROGRAMS_CAP:
+        _FUSED_BO_PROGRAMS.pop(next(iter(_FUSED_BO_PROGRAMS)))
+    _FUSED_BO_PROGRAMS[memo_key] = progs
+    return progs
 
 
 class BayesianOptimization(ParameterInference):
@@ -256,14 +452,14 @@ class BOLFI(BayesianOptimization):
                 and self.state["n_evidence"] == 0)
 
     def _fused_fit(self, n_evidence):
-        """One-program BO: scan over acquisitions with the GP state
-        (padded evidence buffers + log-hyperparams) as carry."""
-        import jax
+        """Segmented fused BO: init / per-refit-window acquisition scan /
+        refit as three module-level jitted programs (small compiles that
+        hit the persistent cache — the monolithic whole-loop variant's
+        remote compile ran past 10 minutes — at ~2 dispatches per
+        segment)."""
         import jax.numpy as jnp
         from ..compile.compiler import compile_program
-        from .bo.gp import (_pad_cap, _posterior_factor, _posterior_inverse,
-                            gp_neg_lcb_obj_inv, optimize_restarts_core)
-        from .bo.utils import adam_minimize
+        from .bo.gp import _pad_cap
 
         gp = self.target_model
         acq = self.acquisition_method
@@ -273,11 +469,14 @@ class BOLFI(BayesianOptimization):
         n_acq = n_total - n_init
         cap = _pad_cap(n_total)
         bounds = np.asarray(gp.bounds, np.float32)
-        lo, hi = jnp.asarray(bounds[:, 0]), jnp.asarray(bounds[:, 1])
         noise_var = acq.noise_var
         if noise_var is not None:
-            noise_std = jnp.sqrt(jnp.broadcast_to(
-                jnp.asarray(noise_var, jnp.float32), (d,)))
+            # eager device sqrt, exactly the constant the validated
+            # closure design embedded
+            noise_std = tuple(np.asarray(jnp.sqrt(jnp.broadcast_to(
+                jnp.asarray(noise_var, jnp.float32), (d,)))).tolist())
+        else:
+            noise_std = None
         betas = jnp.asarray([acq._beta(t) for t in range(max(n_acq, 1))],
                             jnp.float32)
         # reference refit schedule (bolfi.py:289-293): refit when the count
@@ -297,29 +496,11 @@ class BOLFI(BayesianOptimization):
         prog_sim = compile_program(self.model, (self.target_name,),
                                    override_names=tuple(self.parameter_names))
         sim_fn = prog_sim.traceable(batch_size=1)
-        pnames = list(self.parameter_names)
-        n_restarts = gp._n_restarts
-        n_inits_acq = acq.n_inits
-        target_name = self.target_name
 
         # bounds-scaled kernel distances, same as GPRegression: ell lives
         # in unit-cube units (heuristic 1/3), scales = 1/width per dim
-        gp_scales = jnp.asarray(1.0 / np.maximum(bounds[:, 1] - bounds[:, 0],
-                                                 1e-12), jnp.float32)
-
-        def heuristic_params(y):
-            ls = jnp.float32(1.0 / 3.0)
-            kv = (jnp.max(jnp.abs(y)) / 3.0) ** 2 + 1e-6
-            bv = kv / 4.0 + 1e-6
-            nv = jnp.maximum(jnp.max(y) ** 2 / 100.0, 1e-6)
-            u0 = jnp.log(jnp.stack([kv, ls, bv, nv]))
-            shapes = jnp.stack([kv, ls, bv, jnp.float32(0.0)])
-            return u0, shapes
-
-        def u_to_params(u):
-            v = jnp.exp(u)
-            return {"sigma2": v[0], "ell": v[1], "bias": v[2],
-                    "noise": v[3], "scales": gp_scales}
+        gp_scales = np.asarray(1.0 / np.maximum(bounds[:, 1] - bounds[:, 0],
+                                                1e-12), np.float32)
 
         master = jax.random.key(self.seed)
         # sub-stream spacing for the loop's own draws: acquisition starts
@@ -328,108 +509,16 @@ class BOLFI(BayesianOptimization):
         # ANY fit length (1000+t / 2000+t / 3000+t collide once
         # n_acq > 1000) while staying bit-identical to the validated
         # streams for the common n_acq <= 1000 case (off = 1000)
-        rng_off = max(n_acq, 1000)
-
-        # The BO loop is SEGMENTED at refit boundaries into three small
-        # programs (init / acquisition segment / refit) instead of one
-        # giant scan with a refit cond inside — small compiles that hit
-        # the persistent cache (the monolithic variant's remote compile
-        # ran past 10 minutes), at ~2 dispatches per segment.  Each scan
-        # step computes the masked K^-1 once (one cho_solve) so the
-        # 150-step acquisition Adam descent below does a parallel matvec
-        # per evaluation instead of a sequential cap-deep triangular
-        # solve.  (A Sherman-Morrison rank-1-carried K^-1 was measured
-        # 2026-08-17 and REJECTED: on BO-clustered evidence the float32
-        # bordering update drifts 5-15% within one 20-step refit window
-        # — enough to corrupt the LCB variance and derail acquisition;
-        # the Ricker t3 posterior landed 5 SD off.)
-
-        def init_run(master):
-            out = init_fn(master, jnp.uint32(0), {})
-            y0 = out[target_name].reshape(-1).astype(jnp.float32)
-            X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
-                           axis=1).astype(jnp.float32)
-            Xp = jnp.zeros((cap, d), jnp.float32).at[:n_init].set(X0)
-            yp = jnp.zeros((cap,), jnp.float32).at[:n_init].set(y0)
-            mask0 = (jnp.arange(cap) < n_init).astype(jnp.float32)
-            u0, shapes = heuristic_params(y0)
-            rkey = jax.random.fold_in(master, 0x5EED)
-            starts0 = u0 + 0.5 * jax.random.normal(
-                jax.random.fold_in(rkey, 0), (n_restarts, 4))
-            u0, _ = optimize_restarts_core(
-                starts0.at[0].set(u0), Xp, yp, mask0, shapes,
-                jnp.float32(0.1), const_params={"scales": gp_scales})
-            return Xp, yp, u0, shapes
-
-        def segment_run(master, Xc, yc, u, n, ts, betas_seg):
-            rkey = jax.random.fold_in(master, 0x5EED)
-            params = u_to_params(u)
-
-            def step(carry, inp):
-                Xc, yc, n = carry
-                t, beta = inp
-                mask = (jnp.arange(cap) < n).astype(jnp.float32)
-                L, alpha = _posterior_factor(Xc, yc, mask, params)
-                Kinv = _posterior_inverse(L, mask)
-                kacq = jax.random.fold_in(rkey, rng_off + t)
-                starts = lo + (hi - lo) * jax.random.uniform(
-                    kacq, (n_inits_acq, d))
-                lr = jnp.max(hi - lo) / 10.0
-
-                def one(x0):
-                    return adam_minimize(
-                        lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
-                                                      alpha, params, beta),
-                        x0, 150, lr, lo, hi)
-
-                xs, fs = jax.vmap(one)(starts)
-                theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
-                                                jnp.inf))]
-                if noise_var is not None:
-                    knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
-                    from ..ops.distributions import truncnorm as _tn
-                    # zero-noise dims pass theta through unchanged (the
-                    # host path's _add_noise skips them): with std=0 the
-                    # raw a/b are 0/0 = NaN whenever the LCB minimizer
-                    # lands exactly on a bound — which adam's clipping
-                    # makes common — so divide by a safe std and select
-                    safe = jnp.where(noise_std > 0, noise_std, 1.0)
-                    a = (lo - theta) / safe
-                    b = (hi - theta) / safe
-                    prop = _tn.rvs(a, b, loc=theta, scale=safe,
-                                   size=(d,), key=knoise)
-                    theta = jnp.where(noise_std > 0, prop, theta)
-                overrides = {p: theta[i][None]
-                             for i, p in enumerate(pnames)}
-                y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
-                               overrides)[target_name].reshape(())
-                Xc = Xc.at[n].set(theta)
-                yc = yc.at[n].set(y_new)
-                return (Xc, yc, n + 1), None
-
-            (Xc, yc, n), _ = jax.lax.scan(
-                step, (Xc, yc, n), (ts, betas_seg))
-            return Xc, yc, n
-
-        def refit_run(master, Xc, yc, u, shapes, n, t):
-            rkey = jax.random.fold_in(master, 0x5EED)
-            mask = (jnp.arange(cap) < n).astype(jnp.float32)
-            st = u + 0.5 * jax.random.normal(
-                jax.random.fold_in(rkey, 3 * rng_off + t), (n_restarts, 4))
-            # in-loop refits warm-start from the current hyperparams (the
-            # first restart IS u) so fewer Adam steps suffice than the
-            # 250 the from-heuristic initial fit uses; 120 passed the
-            # 4-seed Ricker accuracy check (2026-08-17, worst deviation
-            # well under the 2-SD bench gate) — each refit is a
-            # sequential Cholesky chain, the dominant refit cost
-            u_new, _ = optimize_restarts_core(
-                st.at[0].set(u), Xc, yc, mask, shapes, jnp.float32(0.1),
-                steps=120, const_params={"scales": gp_scales})
-            return u_new
-
-        init_jit = jax.jit(init_run)
-        segment_jit = jax.jit(segment_run)
-        refit_jit = jax.jit(refit_run)
+        spec = _FusedBOSpec(cap=cap, d=d, n_init=n_init,
+                            n_restarts=gp._n_restarts,
+                            n_inits_acq=acq.n_inits,
+                            rng_off=max(n_acq, 1000),
+                            pnames=tuple(self.parameter_names),
+                            target_name=self.target_name,
+                            lo=tuple(bounds[:, 0].tolist()),
+                            hi=tuple(bounds[:, 1].tolist()),
+                            noise_std=noise_std,
+                            gp_scales=tuple(gp_scales.tolist()))
 
         # static segment boundaries from the refit schedule
         refit_np = np.asarray(refit)
@@ -441,6 +530,8 @@ class BOLFI(BayesianOptimization):
         if start < n_acq:
             segments.append((start, n_acq - start, False))
 
+        init_jit, segment_jit, refit_jit = _fused_bo_programs(
+            spec, init_fn, sim_fn)
         Xc, yc, u, shapes = init_jit(master)
         n = jnp.int32(n_init)
         for seg_start, seg_len, do_refit in segments:

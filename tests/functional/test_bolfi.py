@@ -58,6 +58,55 @@ def test_bolfi_sample(fitted_bolfi):
     assert -2 < means[0] < 2 and -1 < means[1] < 1
 
 
+def test_fused_fit_programs_reused_across_instances(ma2_log):
+    """A second BOLFI on the same model must NOT retrace/recompile the
+    fused-fit or sampler programs: the fused BO programs are module-level
+    with static spec + program-cache-stable traceables, and the NUTS
+    target routes fit data through target_args.  (The per-instance
+    closures this replaces cost a full remote XLA compile per fit/sample
+    on the TPU tunnel.)"""
+    from elfi_tpu.methods import mcmc
+    from elfi_tpu.methods import bolfi as bolfi_mod
+
+    # uniform (box) priors: the NUTS target is the stable per-kernel
+    # bundle target, so even the sampler program must be reused.  (MA2's
+    # hierarchical custom priors take the general closure-target path,
+    # which legitimately retraces per posterior.)
+    m = elfi.Model(name="bolfi_reuse")
+    elfi.Prior("uniform", -2, 4, model=m, name="t1")
+    elfi.Prior("uniform", -1, 2, model=m, name="t2")
+    elfi.Simulator(
+        lambda t1, t2, batch_size, key: (
+            jnp.stack([t1, t2], 1)
+            + 0.1 * __import__("jax").random.normal(key, (batch_size, 2))),
+        m["t1"], m["t2"], observed=np.array([0.6, 0.2]), model=m, name="S")
+    elfi.Distance("euclidean", m["S"], model=m, name="d")
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
+
+    def run(seed):
+        bolfi = elfi.BOLFI(m["log_d"], batch_size=1,
+                           initial_evidence=16, update_interval=8,
+                           bounds={"t1": (-2, 2), "t2": (-1, 1)},
+                           acq_noise_var=0.1, seed=seed)
+        bolfi.fit(n_evidence=32, bar=False)
+        return bolfi.sample(100, n_chains=2, bar=False)
+
+    run(11)
+    entries = dict(bolfi_mod._FUSED_BO_PROGRAMS)
+    assert entries, "fit did not register fused-BO programs"
+    progs = [f for trio in entries.values() for f in trio]
+    progs.append(mcmc._nuts_chains_jit)
+    sizes = [f._cache_size() for f in progs]
+    res = run(12)
+    # same spec + program-cache-stable traceables -> the memo entry is
+    # reused and no jitted program retraces
+    for key in entries:
+        assert bolfi_mod._FUSED_BO_PROGRAMS.get(key) is entries[key]
+    for f, before in zip(progs, sizes):
+        assert f._cache_size() == before, f
+    assert res.chains.shape == (2, 100, 2)
+
+
 def test_bolfi_continue_fit(ma2_log):
     bolfi = elfi.BOLFI(ma2_log["log_d"], batch_size=1, initial_evidence=16,
                        bounds={"t1": (-2, 2), "t2": (-1, 1)}, seed=7)
