@@ -390,8 +390,10 @@ class RandMaxVar(MaxVar):
             samples = mcmc.metropolis(self._n_samples, theta_init,
                                       logpdf, sigmas, seed=self.seed)
         elif self.name_sampler == "nuts":
+            # bounds widths as a diagonal mass matrix (see mcmc.nuts)
+            bw = np.asarray([hi - lo for lo, hi in gp.bounds], np.float32)
             samples = mcmc.nuts(self._n_samples, theta_init, logpdf,
-                                seed=self.seed)
+                                seed=self.seed, scales=bw)
         else:
             raise ValueError("Incompatible sampler")
         if n > 1:

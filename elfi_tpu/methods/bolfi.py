@@ -606,11 +606,18 @@ class BOLFI(BayesianOptimization):
         # sample() call (measured 9-70 s on the TPU tunnel)
         target, target_args = posterior.traceable_logpdf_args()
         if algorithm == "nuts":
+            # bounds widths as a diagonal NUTS mass matrix: one stepsize
+            # must serve every parameter, and Ricker-like 16x width spreads
+            # otherwise leave the widest parameter under-mixed (t3 bias
+            # measured at ~2 gt-SD with identity mass)
+            widths = np.asarray([hi - lo for lo, hi in
+                                 self.target_model.bounds], np.float32)
             chains = mcmc.nuts_chains(n_samples, initials, target,
                                       n_adapt=warmup, seed=self.seed,
                                       mesh=getattr(self.client, "mesh",
                                                    None),
                                       target_args=target_args,
+                                      scales=kwargs.pop("scales", widths),
                                       **kwargs)
         else:
             sigmas = resolve_sigmas(self.target_model.parameter_names,

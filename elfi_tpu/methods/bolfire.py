@@ -118,11 +118,15 @@ class BOLFIRE(ModelBased):
         # compiled sampler program is reused across fits/instances
         target, target_args = posterior.traceable_logpdf_args()
         if algorithm == "nuts":
+            # bounds widths as a diagonal mass matrix (see mcmc.nuts_chains)
+            widths = np.asarray([hi - lo for lo, hi in
+                                 self.target_model.bounds], np.float32)
             chains = mcmc.nuts_chains(n_samples, initials, target,
                                       n_adapt=warmup, seed=self.seed,
                                       mesh=getattr(self.client, "mesh",
                                                    None),
                                       target_args=target_args,
+                                      scales=kwargs.pop("scales", widths),
                                       **kwargs)
         else:
             sigmas = resolve_sigmas(self.parameter_names, sigma_proposals,

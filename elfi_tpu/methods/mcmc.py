@@ -207,7 +207,7 @@ def _find_stepsize(key, target, grad, x0):
 
 
 def _nuts_chain_body(key, x0, target, n_iter, n_adapt, target_prob,
-                     max_depth, stepsize0, target_args=()):
+                     max_depth, stepsize0, target_args=(), scales=None):
     """Unjitted single-chain NUTS implementation.
 
     ``target_args`` is a pytree of per-run data threaded through as jit
@@ -215,10 +215,24 @@ def _nuts_chain_body(key, x0, target, n_iter, n_adapt, target_prob,
     data instead (the pre-round-4 design) bakes it into the program as
     constants, so every new GP fit produced a byte-different payload —
     a full remote XLA compile (9-70 s measured on the tunnel) hiding
-    inside every BOLFI ``sample()`` call."""
+    inside every BOLFI ``sample()`` call.
+
+    ``scales`` (optional, shape (d,)): diagonal preconditioner.  The chain
+    runs in z = x / scales coordinates with unit-mass momentum — exactly a
+    diagonal mass matrix M = diag(1/scales^2) — and the returned draws are
+    mapped back to x.  Without it a single dual-averaged stepsize must fit
+    the NARROWEST parameter, so wide parameters mix arbitrarily slowly
+    (Ricker's 16x bounds-width spread left t3 under-sampled).  The
+    reference's NUTS has no mass matrix either (``elfi/methods/mcmc.py``);
+    this is a capability it lacks.  ``scales=None`` is bit-identical to
+    the unpreconditioned sampler."""
     if target_args:
         base = target
         target = lambda x: base(x, *target_args)   # noqa: E731
+    if scales is not None:
+        unscaled = target
+        target = lambda z: unscaled(z * scales)    # noqa: E731
+        x0 = x0 / scales
     grad = jax.grad(target)
     key, kf = jax.random.split(key)
     step0 = jnp.where(stepsize0 > 0, stepsize0,
@@ -247,7 +261,7 @@ def _nuts_chain_body(key, x0, target, n_iter, n_adapt, target_prob,
     iis = jnp.arange(1, n_iter + 1, dtype=jnp.float32)
     (_, _, _, _, _), xs = jax.lax.scan(
         scan_body, (x0, step0, jnp.float32(0.0), jnp.float32(0.0), key), iis)
-    return xs
+    return xs if scales is None else xs * scales
 
 
 _nuts_chain = jax.jit(_nuts_chain_body,
@@ -258,7 +272,7 @@ _nuts_chain = jax.jit(_nuts_chain_body,
 @partial(jax.jit, static_argnames=("target", "n_iter", "n_adapt",
                                    "max_depth"))
 def _nuts_chains_jit(keys, x0s, target, n_iter, n_adapt, target_prob,
-                     max_depth, stepsize0, target_args):
+                     max_depth, stepsize0, target_args, scales=None):
     """All chains as ONE top-level jitted vmap.  The cache key is the
     static ``target`` identity; per-fit data (GP factors, thresholds,
     prior boxes) must flow through ``target_args`` so a stable target
@@ -267,32 +281,37 @@ def _nuts_chains_jit(keys, x0s, target, n_iter, n_adapt, target_prob,
     compile cache across processes too."""
     def one(k, x):
         return _nuts_chain_body(k, x, target, n_iter, n_adapt, target_prob,
-                                max_depth, stepsize0, target_args)
+                                max_depth, stepsize0, target_args, scales)
     return jax.vmap(one)(keys, x0s)
 
 
 def nuts(n_iter, params0, target, grad_target=None, n_adapt=None,
          target_prob=0.6, max_depth=5, seed=0, stepsize=None, key=None,
-         target_args=(), **kwargs):
+         target_args=(), scales=None, **kwargs):
     """Sample a traceable log-density with NUTS (reference API,
-    ``mcmc.py:114-162``); returns (n_iter, d) including adaptation."""
+    ``mcmc.py:114-162``); returns (n_iter, d) including adaptation.
+
+    ``scales``: optional per-parameter widths used as a diagonal mass
+    matrix (see ``_nuts_chain_body``)."""
     params0 = jnp.atleast_1d(jnp.asarray(params0, jnp.float32))
     n_adapt = n_adapt if n_adapt is not None else n_iter // 2
     if key is None:
         key = jax.random.key(seed)
+    if scales is not None:
+        scales = jnp.asarray(scales, jnp.float32)
     t0 = float(np.asarray(target(params0, *target_args)))
     if not np.isfinite(t0):
         raise ValueError(f"NUTS: bad initialization point {params0}, "
                          "logpdf -> -inf")
     xs = _nuts_chain(key, params0, target, int(n_iter), int(n_adapt),
                      float(target_prob), int(max_depth),
-                     jnp.float32(stepsize or 0.0), target_args)
+                     jnp.float32(stepsize or 0.0), target_args, scales)
     return np.asarray(xs)
 
 
 def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
                 max_depth=5, seed=0, stepsize=None, mesh=None,
-                target_args=()):
+                target_args=(), scales=None):
     """Run several NUTS chains vmapped on device; returns
     (n_chains, n_iter, d).
 
@@ -312,6 +331,8 @@ def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
     n_chains = x0s.shape[0]
     n_adapt = n_adapt if n_adapt is not None else n_iter // 2
     keys = jax.random.split(jax.random.key(seed), n_chains)
+    if scales is not None:
+        scales = jnp.asarray(scales, jnp.float32)
     if mesh is not None and n_chains % mesh.devices.size == 0:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -320,7 +341,7 @@ def nuts_chains(n_iter, x0s, target, n_adapt=None, target_prob=0.6,
         x0s = jax.device_put(x0s, sh)
     return np.asarray(_nuts_chains_jit(
         keys, x0s, target, int(n_iter), int(n_adapt), float(target_prob),
-        int(max_depth), jnp.float32(stepsize or 0.0), target_args))
+        int(max_depth), jnp.float32(stepsize or 0.0), target_args, scales))
 
 
 def _metropolis_chain_body(key, x0, target, n_total, sigma, target_args=()):

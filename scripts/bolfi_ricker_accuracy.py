@@ -53,9 +53,12 @@ def main():
     seeds = [int(s) for s in sys.argv[3:]] or [1, 2, 3, 4]
     m = build_model()
 
+    # ground-truth pool MUST match bench.py's (seed 9, 2^22 sims): the
+    # gate arithmetic is in gt-SD units and a 2^20 pool's looser posterior
+    # SD (t3: 1.11 vs 0.94) once passed a study that the bench then failed
     t0 = time.perf_counter()
     gt = elfi.Rejection(m["d"], batch_size=1 << 14, seed=9).sample(
-        2000, n_sim=1 << 20, bar=False)
+        2000, n_sim=1 << 22, bar=False)
     gt_means = {k: float(np.mean(v)) for k, v in gt.samples.items()}
     gt_sds = {k: float(np.std(v)) for k, v in gt.samples.items()}
     print(f"ground truth ({time.perf_counter() - t0:.1f}s): "

@@ -127,6 +127,32 @@ def test_nuts_chains_one_compile_across_datasets():
     assert abs(out[:, 75:, :].mean() + 1.0) < 0.2
 
 
+def test_nuts_scales_preconditioning():
+    """A diagonal mass matrix (scales=) must fix mixing on anisotropic
+    targets: with a 100x SD spread the identity-mass sampler's wide
+    dimension barely moves, the preconditioned one matches both SDs."""
+    sd = jnp.asarray([0.1, 10.0])
+
+    def target(x):
+        return -0.5 * jnp.sum((x / sd) ** 2)
+
+    x0s = np.zeros((4, 2), np.float32)
+    ch = mcmc.nuts_chains(1500, x0s, target, n_adapt=750, seed=7,
+                          scales=np.array([0.1, 10.0], np.float32))
+    post = ch[:, 750:, :].reshape(-1, 2)
+    np.testing.assert_allclose(post.std(0), [0.1, 10.0], rtol=0.15)
+    ess = mcmc.eff_sample_size(ch[:, 750:, :])
+    assert np.all(ess > 500)
+
+
+def test_nuts_scales_none_bit_identical():
+    """scales=None must leave the sampler stream untouched (the BOLFI/BSL
+    parity invariants depend on the default path not re-rolling)."""
+    a = mcmc.nuts(200, np.array([0.5]), std_normal, seed=3)
+    b = mcmc.nuts(200, np.array([0.5]), std_normal, seed=3, scales=None)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_metropolis_target_args():
     s = mcmc.metropolis_chains(
         4000, np.zeros((2, 1), np.float32),
