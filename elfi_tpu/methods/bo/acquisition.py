@@ -416,10 +416,13 @@ def _lookahead_state_fn(fns):
         return jitted
 
     def state(Xp, mask, Kinv, alpha, params, eps, points):
-        mean_p, var_p = fns.predict_noiseless_inv(points, Xp, mask, Kinv,
-                                                  alpha, params)
-        kxp = fns.cross_cov(Xp, points, params) * mask[:, None]
-        kinv_kxp = Kinv @ kxp
+        # HIGHEST matmul precision: the K^-1 cross terms cancel like the
+        # GP variance quadratic form (see gp._mm_highest)
+        with jax.default_matmul_precision("highest"):
+            mean_p, var_p = fns.predict_noiseless_inv(points, Xp, mask,
+                                                      Kinv, alpha, params)
+            kxp = fns.cross_cov(Xp, points, params) * mask[:, None]
+            kinv_kxp = Kinv @ kxp
         phi_p, _ = _indicator_moments(eps, mean_p, var_p, params["noise"])
         return mean_p, var_p, kinv_kxp, phi_p
 
@@ -479,8 +482,10 @@ class ExpIntVar(MaxVar):
             # one observation at theta — all matvecs on the cached K^-1
             kxt = cross_cov(theta[None], Xp, params)[0] * mask
             prior_var = cross_cov(theta[None], theta[None], params)[0, 0]
-            var_new = jnp.maximum(prior_var - kxt @ (Kinv @ kxt), 1e-10)
-            cov = cross_cov(theta[None], points, params)[0] - kxt @ kinv_kxp
+            with jax.default_matmul_precision("highest"):
+                var_new = jnp.maximum(prior_var - kxt @ (Kinv @ kxt), 1e-10)
+                cov = (cross_cov(theta[None], points, params)[0]
+                       - kxt @ kinv_kxp)
             shrink = cov ** 2 / (params["noise"] + var_new)
             total = params["noise"] + var_p
             shape = jnp.sqrt(jnp.maximum(total - shrink, 0.0)

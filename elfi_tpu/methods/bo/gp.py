@@ -28,6 +28,8 @@ just the default instance of the same machinery.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.optimize
 
@@ -45,6 +47,27 @@ def _pad_cap(n):
     return cap
 
 
+def _mm_highest(fn):
+    """Trace-time guard: every dot/matmul inside ``fn`` runs at
+    precision=HIGHEST (full float32 on TPU).
+
+    The TPU default feeds the MXU bf16 inputs (~4e-3 relative error per
+    dot).  GP linear algebra amplifies that catastrophically: the
+    ``kx @ Kinv @ kx`` predictive-variance quadratic form cancels ~500
+    bias-dominated terms of magnitude ~|prior var| down to O(1), so a
+    4e-3 relative slip exceeds the whole noise floor — measured variance
+    collapse to the 1e-10 clip across most of the Ricker box (GP sd = 0
+    ⇒ logpdf ~ -1e11 plateaus ⇒ frozen NUTS chains, and corrupted LCB
+    exploration during the fit).  These matrices are <= cap^2 (~512^2);
+    the 3-pass float32 MXU cost is irrelevant next to the latency-bound
+    dispatch, so HIGHEST everywhere is pure win."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def rbf_bias_kernel(A, B, params):
     """Traceable RBF+bias cross-covariance matrix k(A, B), (n, m).
 
@@ -54,13 +77,23 @@ def rbf_bias_kernel(A, B, params):
     An isotropic RBF over raw coordinates is the reference GPy default,
     but it fits terribly when parameter ranges differ by 10x+ (e.g.
     Ricker's t2 in (0.05, 0.8) vs t3 in (4, 16)); bounds scaling is what
-    makes the Ricker BOLFI posterior stable across seeds."""
+    makes the Ricker BOLFI posterior stable across seeds.
+
+    Distances are per-dimension outer differences, NOT the
+    ``|a|^2+|b|^2-2ab`` matmul expansion: on TPU that matmul runs at
+    bf16 precision and the near-zero r2 of BO-clustered evidence pairs
+    is a catastrophic cancellation — measured 5-11%% error in the
+    Cholesky/alpha of the fitted K, which collapsed the predictive
+    variance to the 1e-10 clip (q > prior var) over most of the box and
+    froze NUTS on logpdf ~ -1e11 plateaus.  d is tiny (n_params) in LFI,
+    so d elementwise (n, m) ops beat an MXU matmul anyway."""
     scales = params.get("scales") if isinstance(params, dict) else None
     if scales is not None:
         A = A * scales
         B = B * scales
-    r2 = (jnp.sum(A ** 2, 1)[:, None] + jnp.sum(B ** 2, 1)[None, :]
-          - 2.0 * A @ B.T)
+    r2 = 0.0
+    for k in range(A.shape[1]):
+        r2 = r2 + (A[:, k][:, None] - B[:, k][None, :]) ** 2
     return (params["sigma2"] * jnp.exp(-0.5 * r2 / (params["ell"] ** 2))
             + params["bias"])
 
@@ -233,6 +266,20 @@ class GPFns:
             fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
             i = jnp.argmin(fs)
             return us[i], fs[i]
+
+        # rebinding the LOCAL names wraps closure callees too
+        # (predict_noiseless -> predict, optimize_restarts_core ->
+        # neg_log_posterior, ...): all uses trace at HIGHEST precision,
+        # including raw references embedded in fused BO scans
+        (kernel_mats, posterior_factor, posterior_inverse, predict,
+         predict_noiseless, predict_inv, predict_noiseless_inv,
+         neg_lcb_obj_inv, neg_lcb_obj, mean_obj, neg_log_posterior,
+         optimize_restarts_core) = (
+            _mm_highest(f) for f in
+            (kernel_mats, posterior_factor, posterior_inverse, predict,
+             predict_noiseless, predict_inv, predict_noiseless_inv,
+             neg_lcb_obj_inv, neg_lcb_obj, mean_obj, neg_log_posterior,
+             optimize_restarts_core))
 
         self.kernel_mats = jax.jit(kernel_mats)
         self.posterior_factor = jax.jit(posterior_factor)
