@@ -13,6 +13,7 @@ and shards the batch axis across a TPU mesh over ICI.
 Flat namespace parity with the reference (``elfi/__init__.py:9-29``).
 """
 
+from . import _precision  # noqa: F401  (matmul precision = highest, see module docstring)
 from .model import (AdaptiveDistance, ComputationContext, Constant,  # noqa: F401
                     Discrepancy, Distance, Model, ModelPrior, NodeReference,
                     Operation, Prior, RandomVariable, Simulator, Summary,

@@ -149,9 +149,12 @@ def test_gp_inverse_predict_matches_solve(fitted_gp):
         mu_i, var_i = inv_pred(jnp.asarray(xs))
         np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_s),
                                    rtol=1e-4, atol=1e-4)
-        # the quadratic form kx @ Kinv @ kx cancels harder in float32 than
-        # |L^-1 kx|^2 — a few % of relative variance error is the price of
-        # the latency win (GPy's cached Woodbury path makes the same trade)
+        # with matmul precision pinned to HIGHEST (see _precision.py) the
+        # two paths agree to ~1e-3 absolute; the remaining slack is plain
+        # float32 cancellation in near-zero noiseless variances, not the
+        # old bf16 corruption (which needed rtol=5e-2 and still collapsed
+        # clustered-evidence fits, see
+        # test_gp_variance_never_collapses_on_clustered_evidence)
         np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_s),
                                    rtol=5e-2, atol=1e-3)
         assert np.all(np.asarray(var_i) > 0)
@@ -171,3 +174,59 @@ def test_explicit_zero_noise_var_respected():
     assert gp.params["noise"] <= 1e-8
     heuristic = max(np.max(y) ** 2 / 100.0, 1e-6)
     assert gp.params["noise"] < heuristic / 100
+
+
+def test_matmul_precision_policy():
+    """Importing the package must set the library-wide HIGHEST matmul
+    precision: the TPU bf16 default corrupted GP Cholesky factors by
+    5-11% and collapsed predictive variances to the clip floor (frozen
+    NUTS chains, garbage LCB exploration — see _precision.py)."""
+    import jax
+
+    import elfi_tpu  # noqa: F401
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
+
+
+def test_gp_variance_never_collapses_on_clustered_evidence():
+    """The bf16-matmul failure mode: BO-clustered (near-duplicate)
+    evidence rows drove the kx@Kinv@kx quadratic form past prior+noise,
+    clipping the predictive variance to 1e-10 over most of the box.
+    Invariant (exact arithmetic): noisy predictive variance >= noise.
+    Checked against a float64 host reference on a pathological fit."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    # 3 tight clusters of near-duplicates + a few spread points, 2-d
+    centers = np.array([[0.2, 0.3], [0.5, 0.7], [0.8, 0.4]])
+    x = np.vstack([c + 1e-4 * rng.randn(60, 2) for c in centers]
+                  + [rng.rand(20, 2)])
+    y = np.sin(5 * x[:, 0]) + np.cos(3 * x[:, 1]) + 0.1 * rng.randn(len(x))
+    gp = GPRegression(["a", "b"], bounds=[(0, 1), (0, 1)])
+    gp.update(x, y, optimize=True)
+
+    Xp, mask, L, alpha, params = gp._factor
+    Kinv = gp.fns.posterior_inverse(L, mask)
+    grid = np.stack(np.meshgrid(np.linspace(0, 1, 9),
+                                np.linspace(0, 1, 9)), -1).reshape(-1, 2)
+    mu, var = gp.fns.predict_inv(jnp.asarray(grid, jnp.float32), Xp, mask,
+                                 Kinv, alpha, params)
+    noise = float(params["noise"])
+    assert np.all(np.asarray(var) > 0.5 * noise)
+
+    # float64 host reference on the same evidence/hyperparameters
+    sc = np.asarray(params["scales"], np.float64)
+    ell = float(params["ell"])
+    s2, b = float(params["sigma2"]), float(params["bias"])
+
+    def k64(A, B):
+        d2 = (((A[:, None, :] - B[None, :, :]) * sc) / ell) ** 2
+        return s2 * np.exp(-0.5 * d2.sum(-1)) + b
+
+    Xa = np.asarray(gp.X, np.float64)
+    Ka = k64(Xa, Xa) + np.eye(len(Xa)) * noise
+    kx = k64(grid.astype(np.float64), Xa)
+    q = np.einsum("ij,ji->i", kx, np.linalg.solve(Ka, kx.T))
+    var64 = s2 + b - q + noise
+    mu64 = kx @ np.linalg.solve(Ka, np.asarray(gp.Y, np.float64).ravel())
+    np.testing.assert_allclose(np.asarray(mu), mu64, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), var64, rtol=2e-2)
