@@ -376,6 +376,10 @@ PHASE_TIMEOUT_S = {"bolfi": 1500, "smc": 900, "bsl": 900,
 # moves on (round 3 died spinning on one phase until an external kill).
 OUTAGE_CAP_S = 600
 _OUTAGE_SLEEP_S = 30
+# extra passes over outage-failed phases after the first sweep (a tunnel
+# outage longer than OUTAGE_CAP_S mid-phase no longer permanently zeroes
+# that phase if the device recovers while later phases run)
+RETRY_SWEEPS = 2
 _MARKER = "BENCH_PHASE_RESULT:"
 _DOWN_MARKER = "BENCH_DEVICE_DOWN"
 
@@ -556,13 +560,24 @@ def main(argv=None):
     _emit(results)          # a parseable line exists even if killed early
     # cheap pre-check, capped by the global budget; phases re-probe
     _wait_for_device(deadline_s=max(60, min(600, budget_left_s())))
-    for name in PHASE_ORDER:
-        if budget_left_s() <= 60:
-            print(f"# global bench budget exhausted; skipping {name}",
+    # Retry sweeps: a phase lost to an outage (e.g. the headline rejection
+    # phase hitting a down tunnel that recovers minutes later) gets fresh
+    # attempts while later phases' successes are kept.  Each sweep only
+    # touches still-failed phases; the global budget bounds everything.
+    for sweep in range(1 + RETRY_SWEEPS):
+        pending = [n for n in PHASE_ORDER if results[n] is None]
+        if not pending:
+            break
+        if sweep:
+            print(f"# retry sweep {sweep} over failed phases: {pending}",
                   file=sys.stderr)
-            continue
-        results[name] = _run_phase_isolated(name, budget_left_s)
-        _emit(results)
+        for name in pending:
+            if budget_left_s() <= 60:
+                print(f"# global bench budget exhausted; skipping {name}",
+                      file=sys.stderr)
+                continue
+            results[name] = _run_phase_isolated(name, budget_left_s)
+            _emit(results)
 
 
 if __name__ == "__main__":

@@ -165,6 +165,31 @@ def test_cumulative_emission_per_phase(bench, monkeypatch, capsys):
     assert parsed[-1]["detail"]["accuracy_ok"]
 
 
+def test_failed_phase_retried_in_later_sweep(bench, monkeypatch, capsys):
+    """A phase lost to an outage longer than OUTAGE_CAP_S is retried after
+    the other phases ran (the tunnel often recovers within minutes): the
+    headline must not stay zeroed when the device comes back mid-run."""
+    calls = []
+
+    def fake(name, budget):
+        calls.append(name)
+        if name == "rejection" and calls.count("rejection") == 1:
+            return None                          # outage ate the first try
+        return (_REJ_STUB if name == "rejection"
+                else {"total_s": 1.0, "means": {}, "acc": {"ok": True}})
+
+    monkeypatch.setattr(bench, "_wait_for_device", lambda **k: True)
+    monkeypatch.setattr(bench, "_run_phase_isolated", fake)
+    bench.main([])
+    assert calls.count("rejection") == 2
+    # succeeded phases are not re-run
+    assert calls.count("bolfi") == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    out = json.loads(lines[-1])
+    assert out["value"] == 2.0
+    assert out["detail"]["accuracy_ok"]
+
+
 def test_parent_killed_mid_run_leaves_parseable_line(tmp_path):
     """Round-3 regression: the driver SIGTERMs a stalled bench.  Completed
     phases must survive as the last parseable stdout line."""
