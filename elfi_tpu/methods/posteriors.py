@@ -40,7 +40,12 @@ def _bolfi_box_target_for(fns):
 
 
 def _bolfire_box_target_for(fns):
-    """exp(GP mean of log-ratio) * uniform-box prior, data-only target."""
+    """exp(-GP mean) * uniform-box prior, data-only target.
+
+    The BOLFIRE surrogate is fit on the NEGATIVE log-ratio
+    (``BOLFIRE._process_simulated``), so the log-posterior subtracts the
+    GP mean (reference ``posteriors.py:326``: ``prior.logpdf(x) -
+    model.predict_mean(x)``)."""
     tgt = getattr(fns, "_bolfire_box_target", None)
     if tgt is None:
         def tgt(theta, data):
@@ -48,7 +53,7 @@ def _bolfire_box_target_for(fns):
             mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L, alpha,
                                           params)
             in_box = jnp.all((theta >= lo) & (theta <= hi))
-            return jnp.where(in_box, mu[0] + logconst, -jnp.inf)
+            return jnp.where(in_box, -mu[0] + logconst, -jnp.inf)
 
         fns._bolfire_box_target = tgt
     return tgt
@@ -206,8 +211,9 @@ class BolfiPosterior:
 
 
 class BolfirePosterior:
-    """BOLFIRE posterior: prior * exp(GP mean of the log-ratio)
-    (reference ``posteriors.py:259-390``)."""
+    """BOLFIRE posterior: prior * exp(-GP mean), where the GP surrogate is
+    fit on the negative log-ratio (reference ``posteriors.py:259-390``;
+    its ``logpdf`` is ``prior.logpdf(x) - model.predict_mean(x)``)."""
 
     def __init__(self, parameter_names, model, prior,
                  classifier_attributes=None, seed=0):
@@ -232,10 +238,12 @@ class BolfirePosterior:
         prior_logpdf = self.prior.traceable_logpdf()
 
         def target(theta, data):
+            # GP models the NEGATIVE log-ratio -> subtract its mean
+            # (reference ``posteriors.py:326``)
             Xp, mask, L, alpha, params = data
             mu, _ = fns.predict_noiseless(theta[None], Xp, mask, L, alpha,
                                           params)
-            return mu[0] + prior_logpdf(theta[None])[0]
+            return -mu[0] + prior_logpdf(theta[None])[0]
 
         return target, ((Xp, mask, L, alpha, params),)
 

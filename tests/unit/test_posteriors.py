@@ -77,3 +77,30 @@ def test_general_prior_falls_back_to_closure_target():
     lp = post.logpdf(np.array([[0.0, 0.0], [0.0, 5.0]], np.float32))
     assert np.isfinite(lp[0])
     assert lp[1] == -np.inf
+
+
+def test_bolfire_posterior_subtracts_gp_mean():
+    """Sign regression (r05): the BOLFIRE surrogate is fit on the NEGATIVE
+    log-ratio, so the log-posterior must SUBTRACT the GP mean (reference
+    ``posteriors.py:326``).  The r04 code added it, which mirrored the
+    posterior: on a bowl-shaped GP mean the logpdf must peak at the bowl's
+    minimum, not at the box corners."""
+    from elfi_tpu.methods.posteriors import BolfirePosterior
+
+    # box prior -> exercises the _bolfire_box_target fast path
+    prior = ModelPrior(_box_model("post_bfr1"), parameter_names=["a", "b"])
+    post = BolfirePosterior(["a", "b"], _fitted_gp(3), prior)
+    lp = post.logpdf(np.array([[0.0, 0.0], [1.8, 0.9]], np.float32))
+    assert lp[0] > lp[1]
+    # gradient points downhill on the GP mean (towards the bowl minimum)
+    g = post.gradient_logpdf(np.array([1.0, 0.5], np.float32))
+    assert g[0] < 0 and g[1] < 0
+
+    # general (non-box) prior path must use the same sign convention
+    m = elfi.Model(name="post_bfr2")
+    elfi.Prior("norm", 0, 10, model=m, name="a")
+    elfi.Prior("uniform", -1, 2, model=m, name="b")
+    prior2 = ModelPrior(m, parameter_names=["a", "b"])
+    post2 = BolfirePosterior(["a", "b"], _fitted_gp(3), prior2)
+    lp2 = post2.logpdf(np.array([[0.0, 0.0], [1.8, 0.9]], np.float32))
+    assert lp2[0] > lp2[1]
