@@ -433,7 +433,7 @@ class RomcPosterior:
                  left_lim=None, right_lim=None, eps_filter=None,
                  eps_region=None, eps_cutoff=None, parallelize=False,
                  traceable_objective=None, keys=None, local_coeffs=None,
-                 surrogate_fns=None, surrogate_aux=None):
+                 surrogate_fns=None, surrogate_aux=None, mesh=None):
         self.regions = regions
         self.funcs = objectives
         self.objectives_actual = objectives_actual
@@ -459,6 +459,9 @@ class RomcPosterior:
         #: ``self.funcs`` (romc.py:507-551)
         self._surrogate_fns = surrogate_fns
         self._surrogate_aux = surrogate_aux
+        #: device mesh of the active sharded client (None = single device);
+        #: sample() lays the n2 draw axis over it
+        self._mesh = mesh
         self._jit_cache = {}       # compiled count/sample programs
 
     def _surrogate_mu(self, theta, aux_one):
@@ -555,11 +558,21 @@ class RomcPosterior:
         # ONE compiled program (cached on the posterior) draws the box
         # points and evaluates every region objective — eager vmaps here
         # would dispatch the whole simulator op-by-op over a ~30 ms
-        # tunnel per primitive
-        draw = self._jit_cache.get(("sample", n2, R))
+        # tunnel per primitive.  Under a sharded client the n2 draw axis
+        # is laid over the mesh (regions R vary per run and are few; the
+        # per-region draws are the wide, independent axis) so the region
+        # objectives evaluate SPMD across ICI.
+        mesh = self._mesh
+        shard_n2 = mesh is not None and n2 % mesh.devices.size == 0
+        draw = self._jit_cache.get(("sample", n2, R, shard_n2))
         if draw is None:
             def draw(key, rot, center, lims, keys):
                 u = jax.random.uniform(key, (R, n2, self.dim))
+                if shard_n2:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    u = jax.lax.with_sharding_constraint(
+                        u, NamedSharding(
+                            mesh, PartitionSpec(None, mesh.axis_names[0])))
                 box = lims[:, None, :, 0] + u * (lims[:, None, :, 1]
                                                  - lims[:, None, :, 0])
                 thetas = jnp.einsum("rij,rnj->rni", rot, box) \
@@ -580,7 +593,8 @@ class RomcPosterior:
                         lambda t: self._tr_obj(t, k))(ts))(keys, thetas)
                 return thetas, dists
 
-            draw = self._jit_cache[("sample", n2, R)] = jax.jit(draw)
+            draw = self._jit_cache[("sample", n2, R, shard_n2)] = \
+                jax.jit(draw)
 
         thetas, dists = draw(key, rot, center, lims, self._keys)
 
@@ -718,6 +732,18 @@ class ROMC(ParameterInference):
         keys = jnp.stack([p.key for p in self.optim_problems])
         lo, hi = _bounds_arrays(self.bounds, self.dim)
         obj = self._objective
+
+        # Under a sharded client, the n1 problem axis is laid out over the
+        # mesh so the single vmapped program runs SPMD across ICI — the
+        # TPU-native form of the reference's multiprocessing solve pool
+        # (reference ``romc.py:592-613``).  jit propagates the input
+        # sharding; problems are independent, so no collectives appear.
+        mesh = getattr(self.client, "mesh", None)
+        if mesh is not None and n1 % mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharded = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            keys = jax.device_put(keys, sharded)
+            x0 = jax.device_put(x0, sharded)
 
         @jax.jit
         def solve_all(keys, x0s):
@@ -1036,7 +1062,8 @@ class ROMC(ParameterInference):
             traceable_objective=self._objective,
             keys=jnp.stack(keys) if keys else None,
             local_coeffs=coeffs if use_local else None,
-            surrogate_fns=surrogate_fns, surrogate_aux=surrogate_aux)
+            surrogate_fns=surrogate_fns, surrogate_aux=surrogate_aux,
+            mesh=getattr(self.client, "mesh", None))
         self.inference_state["_has_defined_posterior"] = True
 
     # -- one-call training ------------------------------------------------------------
