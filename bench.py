@@ -241,6 +241,64 @@ def _bench_romc_gnk():
     return round(wall, 2), means, acc
 
 
+def _bench_bolfire_gnk():
+    """g-and-k BOLFIRE (BASELINE.md config 5: "ROMC + BOLFIRE on
+    g-and-k"): classifier ratio estimation + GP surrogate + NUTS.
+    Accuracy: A (the parameter the linear-logistic LFIRE ratio actually
+    identifies on this model) within 1.0 of the fused-rejection ground
+    truth, with the A posterior measurably tighter than the prior; B and
+    k are NOT gated — a 2026-08-20 probe showed the classifier log-ratio
+    at the observed features is monotone in B and flat in k (the
+    saturating-linear-classifier regime of LFIRE; the reference's
+    sklearn-logreg formulation is identical), so their posteriors sit at
+    the prior's center by construction (3-seed study: A err 0.48-0.67,
+    B/k at ~4.7/3.3 vs prior mean 5)."""
+    import numpy as np
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import gnk
+
+    def build():
+        m = gnk.get_model(n_obs=50, seed_obs=1)
+        elfi.Summary(gnk.ss_octile_sq, m["GNK"], model=m, name="ss_osq")
+        return m
+
+    gt_m = gnk.get_model(n_obs=50, seed_obs=1)
+    gt = elfi.Rejection(gt_m["d"], batch_size=1 << 14, seed=8).sample(
+        1000, n_sim=1 << 20, bar=False)
+    gt_means = {k: float(np.mean(v)) for k, v in gt.samples.items()}
+
+    def run(seed):
+        bolfire = elfi.BOLFIRE(
+            build(), n_training_data=2000, batch_size=2000,
+            feature_names=["ss_osq"],
+            bounds={p: (0.0, 10.0) for p in ("A", "B", "g", "k")},
+            n_initial_evidence=40, update_interval=10, acq_noise_var=0.25,
+            seed=seed)
+        bolfire.fit(n_evidence=200, bar=False)
+        return bolfire.sample(1000, n_chains=4, bar=False)
+
+    run(2)                       # warmup: compile GP/acquisition/NUTS
+    t0 = time.perf_counter()
+    res = run(1)
+    wall = time.perf_counter() - t0
+    means = {k: round(float(np.ravel(v)[0]), 3)
+             for k, v in res.sample_means.items()}
+    a_samples = np.ravel(res.samples["A"])
+    prior_sd = 10.0 / np.sqrt(12.0)
+    ok = (abs(means["A"] - gt_means["A"]) < 1.0
+          and float(np.std(a_samples)) < 0.8 * prior_sd
+          and all(np.isfinite(v) and 0.0 <= v <= 10.0
+                  for v in means.values()))
+    acc = {"ok": bool(ok),
+           "ground_truth_rejection_means": {k: round(v, 3)
+                                            for k, v in gt_means.items()},
+           "gated": "A only (tolerance 1.0 + posterior sd < 0.8 prior "
+                    "sd); B/k unidentified by the linear-logistic LFIRE "
+                    "ratio on this model"}
+    return round(wall, 2), means, acc
+
+
 def _bench_rejection():
     """Headline block: fused-rejection XLA path, sharded mesh-1 overhead
     check, and the Pallas fused-kernel path."""
@@ -363,8 +421,14 @@ def _phase_romc():
     return {"total_s": s, "means": means, "acc": acc}
 
 
+def _phase_bolfire():
+    s, means, acc = _bench_bolfire_gnk()
+    return {"total_s": s, "means": means, "acc": acc}
+
+
 PHASES = {"bolfi": _phase_bolfi, "smc": _phase_smc, "bsl": _phase_bsl,
-          "romc": _phase_romc, "rejection": _bench_rejection}
+          "romc": _phase_romc, "bolfire": _phase_bolfire,
+          "rejection": _bench_rejection}
 # Cheap accuracy phases FIRST (bsl ~0.2 s, smc ~1 s, bolfi ~12 s, romc
 # ~15 s measured on-device, docs/measurements/2026-08-19_phase_runs.md),
 # headline rejection sweep LAST: rounds 3+4 lost the four accuracy gates
@@ -373,10 +437,10 @@ PHASES = {"bolfi": _phase_bolfi, "smc": _phase_smc, "bsl": _phase_bsl,
 # and the retry sweeps + sidecar give it fresh attempts anyway.  Each
 # phase is its own process, so the rbg-PRNG ordering constraint
 # (rejection switches the default impl) only binds --inline.
-PHASE_ORDER = ("bsl", "smc", "bolfi", "romc", "rejection")
+PHASE_ORDER = ("bsl", "smc", "bolfi", "romc", "bolfire", "rejection")
 # generous cold-compile headroom on top of the measured TPU walls
 PHASE_TIMEOUT_S = {"bolfi": 1500, "smc": 900, "bsl": 900,
-                   "romc": 1500, "rejection": 1500}
+                   "romc": 1500, "bolfire": 1200, "rejection": 1500}
 # A dead tunnel costs at most this much waiting per phase before the driver
 # moves on (round 3 died spinning on one phase until an external kill).
 OUTAGE_CAP_S = 600
@@ -581,7 +645,8 @@ def _assemble(results, reused=None):
                                  else _fail_acc("rejection")),
     }
     for name, key in (("bolfi", "ricker_bolfi"), ("smc", "gauss2d_smc"),
-                      ("bsl", "ma2_bsl"), ("romc", "gnk_romc")):
+                      ("bsl", "ma2_bsl"), ("romc", "gnk_romc"),
+                      ("bolfire", "gnk_bolfire")):
         r = results.get(name)
         accuracy[key] = r["acc"] if r else _fail_acc(name)
 
@@ -601,6 +666,9 @@ def _assemble(results, reused=None):
         "bsl_ma2_posterior_means": (results.get("bsl") or {}).get("means"),
         "romc_gnk_total_s": (results.get("romc") or {}).get("total_s"),
         "romc_gnk_posterior_means": (results.get("romc") or {}).get("means"),
+        "bolfire_gnk_total_s": (results.get("bolfire") or {}).get("total_s"),
+        "bolfire_gnk_posterior_means":
+            (results.get("bolfire") or {}).get("means"),
     }
     if rej:
         detail.update({k: v for k, v in rej.items()
@@ -651,7 +719,8 @@ def main(argv=None):
         _wait_for_device()
         _setup_cache()
         results = {n: PHASES[n]() for n in
-                   ("bolfi", "smc", "bsl", "romc", "rejection")}
+                   ("bolfi", "smc", "bsl", "romc", "bolfire",
+                    "rejection")}
         _emit(results)
         return
 

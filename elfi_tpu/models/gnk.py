@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import elfi_tpu as elfi
 
 __all__ = ["GNK", "get_model", "ss_order", "ss_robust", "ss_octile",
-           "euclidean_multiss"]
+           "ss_octile_sq", "euclidean_multiss"]
 
 
 def GNK(A, B, g, k, c=0.8, n_obs=50, batch_size=1, key=None):
@@ -72,6 +72,17 @@ def ss_octile(y):
     octiles = jnp.linspace(12.5, 87.5, 7)
     E = _percentiles(y, octiles)  # (7, batch, dim)
     return jnp.moveaxis(E, 0, 1).reshape(y.shape[0], 7, -1)
+
+
+def ss_octile_sq(y):
+    """Octiles + their squares (14 features): a polynomial feature map in
+    the LFIRE-paper spirit (its gaussian toy uses powers 0..9) for
+    classifier-based ratio estimation — the linear-logistic log-ratio is
+    then quadratic in the octiles.  A 2026-08-20 probe showed the plain
+    octile log-ratio at the observed features is monotone in B and flat
+    in k (saturating classifier), while this map at least sharpens A."""
+    o = ss_octile(y).reshape(y.shape[0], -1)
+    return jnp.concatenate([o, o * o], axis=1)
 
 
 def get_model(n_obs=50, true_params=None, seed=None, seed_obs=None):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ma2_distance", "on_tpu"]
+__all__ = ["ma2_distance", "gnk_distance", "on_tpu"]
 
 _LANES = 4096        # batch elements (lanes) per kernel instance
 _ROWS = 128          # time rows; must cover n_obs + 2 (default n_obs=100)
@@ -123,6 +123,128 @@ def _ma2_distance_call(seed, obs, t1, t2, batch_size, n_obs, interpret):
         interpret=interpret,
     )(seed, obs, t1, t2)
     return out.reshape(batch_size)
+
+
+_GNK_LANES = 2048    # batch elements per g-and-k kernel instance
+_GNK_ROWS = 64       # order-statistic rows; must cover n_obs (default 50)
+
+
+def _bitonic_sort_rows(y, nrows):
+    """Ascending bitonic sort along axis 0 (``nrows`` a power of two).
+
+    Fully unrolled at trace time into static sublane slices + min/max —
+    no gathers, no dynamic indexing, so it lowers cleanly in Mosaic.  A
+    2j-block at row r lies inside one k-aligned segment (2j divides k),
+    so its sort direction is the segment's: ascending iff (r & k) == 0.
+    """
+    k = 2
+    while k <= nrows:
+        j = k // 2
+        while j >= 1:
+            pieces = []
+            for r in range(0, nrows, 2 * j):
+                top = y[r:r + j, :]
+                bot = y[r + j:r + 2 * j, :]
+                mn = jnp.minimum(top, bot)
+                mx = jnp.maximum(top, bot)
+                pieces.extend([mn, mx] if (r & k) == 0 else [mx, mn])
+            y = jnp.concatenate(pieces, axis=0)
+            j //= 2
+        k *= 2
+    return y
+
+
+def _gnk_kernel(seed_ref, obs_ref, a_ref, b_ref, g_ref, k_ref, d_ref, *,
+                n_obs, c):
+    """Fused g-and-k pipeline: normals -> quantile transform -> in-VMEM
+    bitonic order statistics -> euclidean distance to the sorted observed
+    sample.  Layout: order axis on sublanes (``_GNK_ROWS``), batch on
+    lanes — the XLA path materialises the (batch, n_obs) sample in HBM
+    and sorts it there (~600 B/sim of traffic); the kernel writes only
+    the distance (4 B/sim)."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * 1000003)
+
+    half = _GNK_ROWS // 2
+    b1 = pltpu.prng_random_bits((half, _GNK_LANES))
+    b2 = pltpu.prng_random_bits((half, _GNK_LANES))
+    mask23 = jnp.int32(0x7FFFFF)
+    u1 = (b1 & mask23).astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
+    u2 = (b2 & mask23).astype(jnp.float32) * (1.0 / (1 << 23))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    cos_a, sin_a = _sincos_2pi(u2)
+    z = jnp.concatenate([r * cos_a, r * sin_a], axis=0)   # (_GNK_ROWS, L)
+
+    A = a_ref[0:1, :]
+    B = b_ref[0:1, :]
+    g = g_ref[0:1, :]
+    kk = k_ref[0:1, :]
+    # y = A + B (1 + c tanh(g z / 2)) (1 + z^2)^k z, overflow-stable tanh
+    x = 0.5 * g * z
+    e = jnp.exp(-2.0 * jnp.abs(x))
+    tanh_x = jnp.sign(x) * (1.0 - e) / (1.0 + e)
+    y = A + B * (1.0 + c * tanh_x) \
+        * jnp.exp(kk * jnp.log1p(z * z)) * z
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_GNK_ROWS, _GNK_LANES), 0)
+    pad = rows >= n_obs
+    y = jnp.where(pad, jnp.float32(np.inf), y)   # pads sort to the end
+    ys = _bitonic_sort_rows(y, _GNK_ROWS)
+
+    obs_col = obs_ref[:, 0:1]                    # (_GNK_ROWS, 1) broadcast
+    diff = ys - obs_col
+    d2 = jnp.sum(jnp.where(pad, 0.0, diff * diff), axis=0, keepdims=True)
+    d_ref[0:1, :] = jnp.sqrt(d2)
+
+
+def _gnk_distance_call(seed, obs_pad, A, B, g, k, batch_size, n_obs, c,
+                       interpret):
+    grid = batch_size // _GNK_LANES
+    kernel = partial(_gnk_kernel, n_obs=n_obs, c=c)
+    param_spec = pl.BlockSpec((1, _GNK_LANES), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_GNK_ROWS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            param_spec, param_spec, param_spec, param_spec,
+        ],
+        out_specs=pl.BlockSpec((1, _GNK_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, batch_size), jnp.float32),
+        interpret=interpret,
+    )(seed, obs_pad, A.reshape(1, -1), B.reshape(1, -1),
+      g.reshape(1, -1), k.reshape(1, -1))
+    return out.reshape(batch_size)
+
+
+def gnk_distance(A, B, g, k, observed_sorted, n_obs=50, c=0.8,
+                 batch_size=1, key=None, interpret=None):
+    """Fused g-and-k simulate+sort+distance; returns (batch,) distances.
+
+    Fully traceable (embeds in the fused rejection scan).
+    ``observed_sorted``: (n_obs,) ascending observed sample — the
+    order-statistics euclidean distance of the XLA path
+    (``models/gnk.py`` ``ss_order`` + ``euclidean_multiss``,
+    reference ``elfi/examples/gnk.py:116-142``).
+    ``batch_size`` must be a multiple of ``_GNK_LANES``."""
+    if batch_size % _GNK_LANES:
+        raise ValueError(f"batch_size must be a multiple of {_GNK_LANES}")
+    if n_obs > _GNK_ROWS:
+        raise ValueError(f"n_obs must be <= {_GNK_ROWS}")
+    if interpret is None:
+        interpret = not on_tpu()
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    obs = np.zeros((_GNK_ROWS, 128), np.float32)
+    obs[:n_obs, 0] = np.sort(np.asarray(observed_sorted,
+                                        np.float32).ravel())
+    args = [jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1),
+                             (batch_size,)) for v in (A, B, g, k)]
+    return _gnk_distance_call(seed, jnp.asarray(obs), *args, batch_size,
+                              n_obs, float(c), interpret)
 
 
 def ma2_distance(t1, t2, observed_autocovs, n_obs=100, batch_size=1,
