@@ -14,16 +14,18 @@ import pytest
 pytestmark = pytest.mark.slow  # excluded from the fast CI gate
 
 
-def _spawn_worker(address, **extra_env):
+def _spawn_worker(address, cwd=None, **extra_env):
     # address is the master's handout string host:port/authkey-hex
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.update({k: str(v) for k, v in extra_env.items()})
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    if cwd is not None:  # external-op graphs read/write files in cwd
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, "-m", "elfi_tpu.worker", address],
-        cwd=root, env=env,
+        cwd=cwd or root, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
@@ -363,3 +365,68 @@ def test_cluster_canceled_inflight_task_does_not_stall_master():
         except Exception:
             pass
         backend.close()
+
+
+def test_cluster_bdm_external_farm(tmp_path):
+    """The reference's flagship external-simulator workflow
+    (``/root/reference/docs/usage/external.rst:355-371``): the native C++
+    BDM binary, file-handshake hooks and all, farmed over the elastic
+    cluster — and bit-identical to the local fallback per seed.  The
+    measured wall for this config is recorded in ``docs/external.md``
+    (single-core box: workers time-slice, so the figure is workflow
+    overhead, not a speedup claim)."""
+    import shutil
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import bdm
+    from elfi_tpu.parallel.cluster import ClusterBackend
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    cwd = os.getcwd()
+    workers = []
+    backend = None
+    prev = elfi.get_client()
+    try:
+        os.chdir(tmp_path)
+        if bdm.ensure_executable(str(tmp_path)) is None:
+            pytest.skip("could not compile bdm")
+        m = bdm.get_model()
+
+        backend = ClusterBackend()
+        elfi.set_client(backend)
+        # local fallback (no workers attached) computes every batch
+        t0 = time.perf_counter()
+        res_local = elfi.Rejection(m["d"], batch_size=50, seed=7).sample(
+            50, n_sim=1000, bar=False)
+        wall_local = time.perf_counter() - t0
+
+        workers = [_spawn_worker(backend.address, cwd=str(tmp_path))
+                   for _ in range(2)]
+        deadline = time.monotonic() + 90
+        while len(backend._workers) + len(backend._joined) < 2 \
+                and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert backend._workers or backend._joined, "no worker attached"
+
+        t0 = time.perf_counter()
+        res_farm = elfi.Rejection(m["d"], batch_size=50, seed=7).sample(
+            50, n_sim=1000, bar=False)
+        wall_farm = time.perf_counter() - t0
+        print(f"bdm farm: local={wall_local:.2f}s "
+              f"farmed(2 workers)={wall_farm:.2f}s")
+
+        # deterministic farm: byte-identical to the local fallback
+        np.testing.assert_array_equal(res_local.samples_array,
+                                      res_farm.samples_array)
+        assert np.all(res_farm.samples["alpha"] >= 0.005)
+    finally:
+        elfi.set_client(prev)
+        if backend is not None:
+            backend.close()
+        for w in workers:
+            try:
+                w.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                w.kill()
+        os.chdir(cwd)
