@@ -128,7 +128,8 @@ class LCBSC(AcquisitionBase):
     reference ``acquisition.py:194-301``): mean - sqrt(beta_t * var) with
     beta_t = 2 log(t^(2d+2) pi^2 / (3 delta))."""
 
-    def __init__(self, *args, delta=None, additive_cost=None, **kwargs):
+    def __init__(self, *args, delta=None, additive_cost=None, epsilon=0.0,
+                 **kwargs):
         if delta is not None:
             if delta <= 0 or delta >= 1:
                 import logging
@@ -141,6 +142,29 @@ class LCBSC(AcquisitionBase):
                                                         CostFunction):
             raise TypeError("Additive cost must be type CostFunction")
         self.additive_cost = additive_cost
+        if not 0.0 <= epsilon < 1.0:
+            raise ValueError("epsilon must be in [0, 1)")
+        # eps-greedy global anchoring: with probability epsilon an
+        # acquisition is a uniform prior-box draw instead of the LCB
+        # minimizer.  The 2026-08-20 MA2 decomposition study
+        # (scripts/bolfi_t1_bias.py, docs/measurements) showed pure-LCBSC
+        # evidence placement drives the low-evidence surrogate bias;
+        # uniform coverage at the same budget halves it.  0 = classic
+        # LCBSC (reference semantics, bit-identical fused programs).
+        self.epsilon = float(epsilon)
+
+    def acquire(self, n, t=None):
+        if self.epsilon > 0.0:
+            self._acq_count += 1
+            key = jax.random.fold_in(jax.random.key(self.seed),
+                                     0x0E5 * 0x10000 + self._acq_count)
+            if float(jax.random.uniform(key)) < self.epsilon:
+                bounds = np.stack(self.model.bounds)
+                x = self.random_state.uniform(
+                    bounds[:, 0], bounds[:, 1],
+                    size=(n, self.model.input_dim))
+                return x
+        return super().acquire(n, t)
 
     @property
     def delta(self):

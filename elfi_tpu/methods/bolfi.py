@@ -75,6 +75,7 @@ class _FusedBOSpec(NamedTuple):
     hi: tuple
     noise_std: tuple | None   # None = no acquisition noise
     gp_scales: tuple
+    epsilon: float = 0.0      # LCBSC eps-greedy uniform-explore share
 
 
 _FUSED_BO_PROGRAMS = {}
@@ -103,6 +104,7 @@ def _fused_bo_programs(spec, init_fn, sim_fn):
     cap, d, n_init = spec.cap, spec.d, spec.n_init
     n_restarts, n_inits_acq = spec.n_restarts, spec.n_inits_acq
     rng_off = spec.rng_off
+    eps = float(spec.epsilon)
     pnames, target_name = spec.pnames, spec.target_name
     lo = jnp.asarray(np.asarray(spec.lo, np.float32))
     hi = jnp.asarray(np.asarray(spec.hi, np.float32))
@@ -176,6 +178,17 @@ def _fused_bo_programs(spec, init_fn, sim_fn):
             xs, fs = jax.vmap(one)(starts)
             theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
                                             jnp.inf))]
+            if eps > 0.0:
+                # eps-greedy global anchor (LCBSC.epsilon): a measured
+                # fraction of acquisitions is pure prior-box coverage —
+                # the 2026-08-20 MA2 decomposition showed LCBSC evidence
+                # placement (not GP/threshold/sampler) drives the
+                # low-evidence t1 bias, and uniform coverage halves it.
+                kexp = jax.random.fold_in(rkey, 4 * rng_off + t)
+                coin = jax.random.uniform(jax.random.fold_in(kexp, 0))
+                unif = lo + (hi - lo) * jax.random.uniform(
+                    jax.random.fold_in(kexp, 1), (d,))
+                theta = jnp.where(coin < eps, unif, theta)
             if noise_var is not None:
                 knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
                 from ..ops.distributions import truncnorm as _tn
@@ -231,7 +244,7 @@ class BayesianOptimization(ParameterInference):
 
     def __init__(self, model, target_name=None, bounds=None,
                  initial_evidence=None, update_interval=10, target_model=None,
-                 acquisition_method=None, acq_noise_var=0,
+                 acquisition_method=None, acq_noise_var=0, acq_epsilon=0.0,
                  exploration_rate=10, batch_size=1,
                  batches_per_acquisition=None, async_acq=False, **kwargs):
         model, target_name = self._resolve_model(model, target_name)
@@ -258,6 +271,7 @@ class BayesianOptimization(ParameterInference):
                            parameter_names=self.target_model.parameter_names)
         self.acquisition_method = acquisition_method or LCBSC(
             self.target_model, prior=prior, noise_var=acq_noise_var,
+            epsilon=acq_epsilon,
             exploration_rate=exploration_rate, seed=self.seed)
 
         self.n_initial_evidence = n_initial
@@ -518,7 +532,8 @@ class BOLFI(BayesianOptimization):
                             lo=tuple(bounds[:, 0].tolist()),
                             hi=tuple(bounds[:, 1].tolist()),
                             noise_std=noise_std,
-                            gp_scales=tuple(gp_scales.tolist()))
+                            gp_scales=tuple(gp_scales.tolist()),
+                            epsilon=float(getattr(acq, "epsilon", 0.0)))
 
         # static segment boundaries from the refit schedule
         refit_np = np.asarray(refit)

@@ -47,13 +47,28 @@ def _mean_under(logw, grid):
     return (grid * w[:, None]).sum(0) / w.sum()
 
 
-def run(seed, n_evidence):
+def run(seed, n_evidence, acq="bo", log=True, eps=0.0):
     m = ma2.get_model(seed_obs=271)
-    elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
-    bolfi = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=24,
+    target = "d"
+    if log:
+        elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
+        target = "log_d"
+    kw = {}
+    if acq == "uniform":
+        # evidence-design A/B: same budget, no BO — if the GP-mean bias
+        # persists, it is intrinsic GP smoothing of the landscape, not
+        # LCBSC exploration placement
+        from elfi_tpu.methods.bo.acquisition import UniformAcquisition
+        from elfi_tpu.methods.bo.gp import GPRegression
+
+        gp = GPRegression(["t1", "t2"], bounds={"t1": (-2, 2),
+                                                "t2": (-1, 1)})
+        kw = {"target_model": gp,
+              "acquisition_method": UniformAcquisition(gp, seed=seed)}
+    bolfi = elfi.BOLFI(m[target], batch_size=1, initial_evidence=24,
                        update_interval=12,
                        bounds={"t1": (-2, 2), "t2": (-1, 1)},
-                       acq_noise_var=0.1, seed=seed)
+                       acq_noise_var=0.1, acq_epsilon=eps, seed=seed, **kw)
     bolfi.fit(n_evidence=n_evidence, bar=False)
     post = bolfi.extract_posterior()
     gp = bolfi.target_model
@@ -89,10 +104,20 @@ def run(seed, n_evidence):
 
 
 def main():
-    n_evidence = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    seeds = [int(s) for s in sys.argv[2:]] or [3]
+    argv = list(sys.argv[1:])
+    eps = 0.0
+    if "--eps" in argv:
+        i = argv.index("--eps")
+        eps = float(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    acq = "uniform" if "--uniform" in argv else "bo"
+    log = "--linear" not in argv
+    n_evidence = int(args[0]) if args else 120
+    seeds = [int(s) for s in args[1:]] or [3]
+    print(f"acq={acq} log={log} eps={eps} n_evidence={n_evidence}")
     for seed in seeds:
-        run(seed, n_evidence)
+        run(seed, n_evidence, acq=acq, log=log, eps=eps)
 
 
 if __name__ == "__main__":

@@ -230,3 +230,55 @@ def test_gp_variance_never_collapses_on_clustered_evidence():
     mu64 = kx @ np.linalg.solve(Ka, np.asarray(gp.Y, np.float64).ravel())
     np.testing.assert_allclose(np.asarray(mu), mu64, atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(var), var64, rtol=2e-2)
+
+
+def test_lcbsc_epsilon_validation_and_default():
+    from elfi_tpu.methods.bo.acquisition import LCBSC
+
+    gp = GPRegression(["x"], bounds=[(-2, 2)])
+    assert LCBSC(gp, seed=0).epsilon == 0.0
+    with pytest.raises(ValueError):
+        LCBSC(gp, seed=0, epsilon=1.0)
+    with pytest.raises(ValueError):
+        LCBSC(gp, seed=0, epsilon=-0.1)
+
+
+def test_lcbsc_epsilon_mixes_uniform_draws(fitted_gp):
+    """eps-greedy LCBSC: with epsilon=1 every acquisition is a uniform
+    prior-box draw; with epsilon=0 the classic LCB minimizer (near the
+    quadratic's minimum at 0) comes back every time."""
+    from elfi_tpu.methods.bo.acquisition import LCBSC
+
+    pure = LCBSC(fitted_gp, seed=7)
+    xs0 = np.concatenate([pure.acquire(1, t=t) for t in range(8)])
+    assert np.all(np.abs(xs0) < 0.5)          # always near the minimum
+
+    mixed = LCBSC(fitted_gp, seed=7, epsilon=1.0 - 1e-9)
+    xs1 = np.concatenate([mixed.acquire(1, t=t) for t in range(8)])
+    assert np.std(xs1) > np.std(xs0) + 0.1    # spread over the box
+    # deterministic per seed
+    mixed2 = LCBSC(fitted_gp, seed=7, epsilon=1.0 - 1e-9)
+    xs2 = np.concatenate([mixed2.acquire(1, t=t) for t in range(8)])
+    np.testing.assert_array_equal(xs1, xs2)
+
+
+def test_bolfi_acq_epsilon_flows_to_fused_spec():
+    """BOLFI(acq_epsilon=...) must reach both the LCBSC instance and the
+    fused-program spec (an undeclared knob silently ignored by the fused
+    path is exactly the bug class the override guard exists for)."""
+    import jax.numpy as jnp
+
+    import elfi_tpu as elfi
+    from elfi_tpu.models import ma2
+
+    m = ma2.get_model(seed_obs=4)
+    elfi.Operation(jnp.log, m["d"], model=m, name="log_d")
+    b = elfi.BOLFI(m["log_d"], batch_size=1, initial_evidence=10,
+                   update_interval=10, bounds={"t1": (-2, 2),
+                                               "t2": (-1, 1)},
+                   acq_epsilon=0.4, seed=1)
+    assert b.acquisition_method.epsilon == 0.4
+    assert b._fused_eligible()
+    b.fit(n_evidence=14, bar=False)
+    x = b.target_model._x
+    assert x.shape[0] == 14 and np.all(np.isfinite(x))
