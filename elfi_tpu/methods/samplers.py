@@ -41,6 +41,47 @@ logger = logging.getLogger(__name__)
 
 _FUSED_CHUNK = 64  # scan length per fused dispatch (compile-time constant)
 
+#: Merge unroll: number of program invocations whose outputs are
+#: CONCATENATED into one top-N merge per fused-scan step.  ``None`` = auto
+#: (:func:`_fused_unroll`); an int forces the factor (benchmarks A/B it).
+#: Bit-identity with the per-batch schedule: ``lax.top_k`` breaks ties by
+#: lower concatenation index, and the concat order buffer -> batch_j ->
+#: batch_{j+1} is exactly the order those rows occupy across sequential
+#: merges, so the selected rows and their output order are unchanged.
+#: Motivation (scripts/xla_rej_profile.py, TPU 2026-08-20): at batch 2^17
+#: the compiled MA2 program costs 0.226 ms/iter but program+merge costs
+#: 0.448 ms/iter — the merge is ~half the loop — while a flat 529k->5000
+#: ``top_k`` costs the same ~0.23 ms as a 136k->5000 one, so merging every
+#: u batches amortizes a near-fixed cost u-fold.
+FUSED_UNROLL = None
+_UNROLL_CAND_CAP = 1 << 21   # max concatenated candidate rows per merge
+_UNROLL_MAX = 16
+_UNROLL_MAX_BATCH = 1 << 18  # above this the cull already hides the merge
+_UNROLL_BYTES_CAP = 256      # skip unroll for wide per-sim outputs (HBM)
+
+
+def _fused_unroll(batch_size, shapes):
+    """Resolve the merge-unroll factor for a fused rejection run.
+
+    Measured end-to-end (scripts/unroll_ab.py, TPU v5e 2026-08-20,
+    MA2 n=5000, 2^28 sims): XLA path at batch 2^17 goes 248 -> 318
+    M sims/s at u=16 (+28%); 2^18 goes 189 -> 212 at u=4-8.  At batch
+    >= 2^20 (the Pallas operating point) unrolling HURTS: 367 -> 365
+    (u=2) -> 330 (u=4) M sims/s — the threshold-culled merge already
+    amortizes there and the concatenated candidate buffer starts paying
+    HBM traffic — hence the ``_UNROLL_MAX_BATCH`` guard.
+    """
+    if FUSED_UNROLL is not None:
+        return max(1, int(FUSED_UNROLL))
+    if batch_size > _UNROLL_MAX_BATCH:
+        return 1
+    bytes_per_sim = sum(
+        int(np.prod(v.shape[1:], dtype=np.int64)) * v.dtype.itemsize
+        for v in shapes.values())
+    if bytes_per_sim > _UNROLL_BYTES_CAP:
+        return 1
+    return int(max(1, min(_UNROLL_MAX, _UNROLL_CAND_CAP // batch_size)))
+
 
 class Rejection(Sampler):
     """Parallel ABC rejection sampler (reference ``samplers.py:57-317``)."""
@@ -255,19 +296,48 @@ class Rejection(Sampler):
         shard_tag = None if shard is None else (self.client.n_devices,
                                                 self.client.axis_name)
 
+        unroll = _fused_unroll(self.batch_size, shapes)
+
+        def one_batch(master_key, i, ov):
+            out = fn(master_key, i, ov_fn(ov, i) if ov_fn else {})
+            if shard is not None:
+                out = shard(out)
+            return out
+
         def scan_batches(master_key, bufs, thr, start, length, ov):
             def step(b, i):
-                out = fn(master_key, i, ov_fn(ov, i) if ov_fn else {})
-                if shard is not None:
-                    out = shard(out)
-                return topk.merge_scan(b, out, thr, disc)
-            idx = start + jnp.arange(length, dtype=jnp.uint32)
-            bufs, accs = jax.lax.scan(step, bufs, idx)
-            return bufs, jnp.sum(accs)
+                return topk.merge_scan(b, one_batch(master_key, i, ov),
+                                       thr, disc)
+
+            def step_u(b, i0):
+                outs = [one_batch(master_key, i0 + jnp.uint32(j), ov)
+                        for j in range(unroll)]
+                cat = {k: jnp.concatenate([o[k] for o in outs])
+                       for k in outs[0]}
+                return topk.merge_scan(b, cat, thr, disc)
+
+            n_full, rem = divmod(length, unroll) if unroll > 1 \
+                else (length, 0)
+            acc = jnp.int32(0)
+            if n_full and unroll > 1:
+                idx = start + jnp.arange(n_full, dtype=jnp.uint32) \
+                    * jnp.uint32(unroll)
+                bufs, accs = jax.lax.scan(step_u, bufs, idx)
+                acc = acc + jnp.sum(accs)
+            elif n_full:
+                idx = start + jnp.arange(n_full, dtype=jnp.uint32)
+                bufs, accs = jax.lax.scan(step, bufs, idx)
+                acc = acc + jnp.sum(accs)
+            if rem:
+                idx = start + jnp.uint32(n_full * unroll) \
+                    + jnp.arange(rem, dtype=jnp.uint32)
+                bufs, accs = jax.lax.scan(step, bufs, idx)
+                acc = acc + jnp.sum(accs)
+            return bufs, acc
 
         def chunk_fn(length):
             cache_key = (self.batch_size, n, length, shard_tag,
-                         tuple(sorted(self.output_names)), ov_tag,
+                         tuple(sorted(self.output_names)), ov_tag, unroll,
                          topk.MERGE_VARIANT, topk.CULL_SMALL_K,
                          topk.CULL_MIN_BATCH)
             if cache_key not in chunk_cache:
@@ -285,7 +355,7 @@ class Rejection(Sampler):
             # in ONE dispatch -- on a remote-attached chip every extra
             # dispatch / device_put is a ~10-50 ms round trip
             cache_key = (self.batch_size, n, "whole", length, shard_tag,
-                         tuple(sorted(self.output_names)), ov_tag,
+                         tuple(sorted(self.output_names)), ov_tag, unroll,
                          topk.MERGE_VARIANT, topk.CULL_SMALL_K,
                          topk.CULL_MIN_BATCH)
             if cache_key not in chunk_cache:

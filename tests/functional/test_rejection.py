@@ -36,6 +36,42 @@ def test_fused_equals_unfused(ma2):
         np.testing.assert_array_equal(res1.outputs[k], res2.outputs[k])
 
 
+def test_fused_merge_unroll_parity(ma2):
+    """The merge-unroll (u program calls concatenated into one top-N merge
+    per scan step) must be BIT-identical to the per-batch schedule for any
+    factor, including non-divisors of the batch count (10 batches at u=3 =
+    3 unrolled steps + 1 remainder step) and in threshold mode (the
+    chunked dispatch path)."""
+    from elfi_tpu.methods import samplers
+
+    saved = samplers.FUSED_UNROLL
+    try:
+        samplers.FUSED_UNROLL = 1
+        base = elfi.Rejection(ma2["d"], batch_size=64, seed=13).sample(
+            16, n_sim=640, fused=True, bar=False)
+        base_thr = elfi.Rejection(ma2["d"], batch_size=64, seed=13).sample(
+            16, threshold=1.0, fused=True, bar=False)
+        for u in (3, 16):
+            samplers.FUSED_UNROLL = u
+            res = elfi.Rejection(ma2["d"], batch_size=64, seed=13).sample(
+                16, n_sim=640, fused=True, bar=False)
+            for k in base.outputs:
+                np.testing.assert_array_equal(
+                    np.asarray(base.outputs[k]), np.asarray(res.outputs[k]),
+                    err_msg=f"unroll={u} output {k}")
+            res_thr = elfi.Rejection(
+                ma2["d"], batch_size=64, seed=13).sample(
+                16, threshold=1.0, fused=True, bar=False)
+            for k in base_thr.outputs:
+                np.testing.assert_array_equal(
+                    np.asarray(base_thr.outputs[k]),
+                    np.asarray(res_thr.outputs[k]),
+                    err_msg=f"unroll={u} threshold output {k}")
+            assert res_thr.n_sim == base_thr.n_sim
+    finally:
+        samplers.FUSED_UNROLL = saved
+
+
 @pytest.mark.slow
 def test_fused_culled_merge_equals_flat_at_scale(ma2):
     """The fused loop's threshold-culled merge must stay BIT-identical to
