@@ -360,8 +360,9 @@ def _bench_rejection():
     # not merge-side; the Pallas path with the threshold-culled merge
     # climbs 301->346 M from 2^19 to its 2^20/2^21 plateau and falls back
     # to 308 M at 2^22 — scripts/merge_ab*.py), so it runs at its own
-    # batch size
-    pallas_batch = 1 << 20
+    # batch size.  2^21 re-measured best 2026-08-20 (376.4 vs 371.1 M
+    # sims/s at 2^20, 3-rep walls, scripts/unroll_ab.py probe)
+    pallas_batch = 1 << 21
     elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
     t1 = time.perf_counter()
