@@ -82,36 +82,134 @@ _FUSED_BO_PROGRAMS = {}
 _FUSED_BO_PROGRAMS_CAP = 8   # LRU bound: evicted entries GC like the
                              # old per-fit closures did
 
+_THETA_SELECTORS = {}
 
-def _fused_bo_programs(spec, init_fn, sim_fn):
-    """``(init_jit, segment_jit, refit_jit)`` for one fused-BO config.
 
-    init: draw + simulate the initial evidence and MAP-fit the GP.
-    segment: one refit-to-refit window of acquisitions as a lax.scan.
-    refit: scheduled warm-started MAP hyperparameter refit.
+def _make_theta_selector(sel_spec):
+    """Theta selection for ONE fused LCBSC acquisition step:
+    masked GP factorization -> vmapped Adam LCB descent -> eps-greedy
+    uniform anchor -> truncnorm acquisition noise.
+
+    ``sel_spec = (cap, d, n_inits_acq, rng_off, lo, hi, noise_std,
+    epsilon)`` with lo/hi/noise_std as float tuples (noise_std ``None``
+    disables acquisition noise).  Shared by the BOLFI and BOLFIRE fused
+    fits and memoized so equal configurations trace one program; the
+    emitted operations are exactly the ones the 4-seed Ricker accuracy
+    study validated (lowered-HLO byte-identity checked at extraction,
+    scripts/bolfi_jaxpr_probe.py 2026-08-20).
     """
-    memo_key = (spec, init_fn, sim_fn)
-    progs = _FUSED_BO_PROGRAMS.get(memo_key)
-    if progs is not None:
-        return progs
-
-    import jax
+    fn = _THETA_SELECTORS.get(sel_spec)
+    if fn is not None:
+        return fn
     import jax.numpy as jnp
     from .bo.gp import (_posterior_factor, _posterior_inverse,
-                        gp_neg_lcb_obj_inv, optimize_restarts_core)
+                        gp_neg_lcb_obj_inv)
     from .bo.utils import adam_minimize
 
-    cap, d, n_init = spec.cap, spec.d, spec.n_init
-    n_restarts, n_inits_acq = spec.n_restarts, spec.n_inits_acq
-    rng_off = spec.rng_off
-    eps = float(spec.epsilon)
-    pnames, target_name = spec.pnames, spec.target_name
-    lo = jnp.asarray(np.asarray(spec.lo, np.float32))
-    hi = jnp.asarray(np.asarray(spec.hi, np.float32))
-    noise_var = spec.noise_std   # None or per-dim std tuple
-    if noise_var is not None:
-        noise_std = jnp.asarray(np.asarray(spec.noise_std, np.float32))
-    gp_scales = jnp.asarray(np.asarray(spec.gp_scales, np.float32))
+    cap, d, n_inits_acq, rng_off, lo_t, hi_t, noise_std_t, eps = sel_spec
+    eps = float(eps)
+    lo = jnp.asarray(np.asarray(lo_t, np.float32))
+    hi = jnp.asarray(np.asarray(hi_t, np.float32))
+    if noise_std_t is not None:
+        noise_std = jnp.asarray(np.asarray(noise_std_t, np.float32))
+
+    def select(rkey, Xc, yc, n, params, t, beta):
+        # The masked K^-1 is computed once per step (one cho_solve) so
+        # the 150-step acquisition Adam descent does a parallel matvec
+        # per evaluation instead of a sequential cap-deep triangular
+        # solve.  (A Sherman-Morrison rank-1-carried K^-1 was measured
+        # 2026-08-17 and REJECTED: on BO-clustered evidence the float32
+        # bordering update drifts 5-15% within one 20-step refit window —
+        # enough to corrupt the LCB variance and derail acquisition; the
+        # Ricker t3 posterior landed 5 SD off.)
+        mask = (jnp.arange(cap) < n).astype(jnp.float32)
+        L, alpha = _posterior_factor(Xc, yc, mask, params)
+        Kinv = _posterior_inverse(L, mask)
+        kacq = jax.random.fold_in(rkey, rng_off + t)
+        starts = lo + (hi - lo) * jax.random.uniform(
+            kacq, (n_inits_acq, d))
+        lr = jnp.max(hi - lo) / 10.0
+
+        def one(x0):
+            return adam_minimize(
+                lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
+                                              alpha, params, beta),
+                x0, 150, lr, lo, hi)
+
+        xs, fs = jax.vmap(one)(starts)
+        theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
+                                        jnp.inf))]
+        if eps > 0.0:
+            # eps-greedy global anchor (LCBSC.epsilon): a measured
+            # fraction of acquisitions is pure prior-box coverage —
+            # the 2026-08-20 MA2 decomposition showed LCBSC evidence
+            # placement (not GP/threshold/sampler) drives the
+            # low-evidence t1 bias, and uniform coverage halves it.
+            kexp = jax.random.fold_in(rkey, 4 * rng_off + t)
+            coin = jax.random.uniform(jax.random.fold_in(kexp, 0))
+            unif = lo + (hi - lo) * jax.random.uniform(
+                jax.random.fold_in(kexp, 1), (d,))
+            theta = jnp.where(coin < eps, unif, theta)
+        if noise_std_t is not None:
+            knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
+            from ..ops.distributions import truncnorm as _tn
+            # zero-noise dims pass theta through unchanged (the
+            # host path's _add_noise skips them): with std=0 the
+            # raw a/b are 0/0 = NaN whenever the LCB minimizer
+            # lands exactly on a bound — which adam's clipping
+            # makes common — so divide by a safe std and select
+            safe = jnp.where(noise_std > 0, noise_std, 1.0)
+            a = (lo - theta) / safe
+            b = (hi - theta) / safe
+            prop = _tn.rvs(a, b, loc=theta, scale=safe,
+                           size=(d,), key=knoise)
+            theta = jnp.where(noise_std > 0, prop, theta)
+        return theta
+
+    _THETA_SELECTORS[sel_spec] = select
+    return select
+
+
+def _install_fused_gp(gp, Xf, yf, uf, n_total, n_init, gp_scales):
+    """Install a fused fit's device results (evidence + MAP log
+    hyperparameters) into a host :class:`~.bo.gp.GPRegression`, exactly
+    as the incremental host loop would have left it (shared by the BOLFI
+    and BOLFIRE fused fits)."""
+    gp._x = np.asarray(Xf[:n_total], np.float64)
+    gp._y = np.asarray(yf[:n_total], np.float64)
+    vals = np.exp(np.asarray(uf, np.float64))
+    gp.params = dict(zip(("sigma2", "ell", "bias", "noise"),
+                         vals.tolist()))
+    gp.params["scales"] = np.asarray(gp_scales)
+    y0 = gp._y[:n_init]
+    gp._prior_shapes = np.array([
+        (np.max(np.abs(y0)) / 3.0) ** 2 + 1e-6,
+        1.0 / 3.0,
+        (np.max(np.abs(y0)) / 3.0) ** 2 / 4.0 + 1e-6, 0.0])
+    gp._refactor()
+
+
+_GP_LOOP_FNS = {}
+
+
+def _make_gp_loop_fns(gp_spec):
+    """GP-surrogate management for fused BO loops: hyperparameter
+    heuristics, the initial MAP fit, and the scheduled warm refit.
+
+    ``gp_spec = (cap, n_init, n_restarts, rng_off, gp_scales)`` with
+    ``gp_scales`` a float tuple.  Returns ``(heuristic_params,
+    u_to_params, init_gp_fit, refit_run)``; memoized, shared by the
+    BOLFI and BOLFIRE fused fits (lowered-HLO byte-identity with the
+    pre-extraction BOLFI closures checked via
+    scripts/bolfi_jaxpr_probe.py, 2026-08-20)."""
+    fns = _GP_LOOP_FNS.get(gp_spec)
+    if fns is not None:
+        return fns
+    import jax.numpy as jnp
+    from .bo.gp import optimize_restarts_core
+
+    cap, n_init, n_restarts, rng_off, gp_scales_t = gp_spec
+    gp_scales = jnp.asarray(np.asarray(gp_scales_t, np.float32))
 
     def heuristic_params(y):
         # initial log-hyperparams + Gamma prior shapes from the initial
@@ -129,11 +227,8 @@ def _fused_bo_programs(spec, init_fn, sim_fn):
         return {"sigma2": v[0], "ell": v[1], "bias": v[2],
                 "noise": v[3], "scales": gp_scales}
 
-    def init_run(master):
-        out = init_fn(master, jnp.uint32(0), {})
-        y0 = out[target_name].reshape(-1).astype(jnp.float32)
-        X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
-                       axis=1).astype(jnp.float32)
+    def init_gp_fit(master, X0, y0):
+        d = X0.shape[1]
         Xp = jnp.zeros((cap, d), jnp.float32).at[:n_init].set(X0)
         yp = jnp.zeros((cap,), jnp.float32).at[:n_init].set(y0)
         mask0 = (jnp.arange(cap) < n_init).astype(jnp.float32)
@@ -145,75 +240,6 @@ def _fused_bo_programs(spec, init_fn, sim_fn):
             starts0.at[0].set(u0), Xp, yp, mask0, shapes,
             jnp.float32(0.1), const_params={"scales": gp_scales})
         return Xp, yp, u0, shapes
-
-    def segment_run(master, Xc, yc, u, n, ts, betas_seg):
-        # Each scan step computes the masked K^-1 once (one cho_solve) so
-        # the 150-step acquisition Adam descent does a parallel matvec per
-        # evaluation instead of a sequential cap-deep triangular solve.
-        # (A Sherman-Morrison rank-1-carried K^-1 was measured 2026-08-17
-        # and REJECTED: on BO-clustered evidence the float32 bordering
-        # update drifts 5-15% within one 20-step refit window — enough to
-        # corrupt the LCB variance and derail acquisition; the Ricker t3
-        # posterior landed 5 SD off.)
-        rkey = jax.random.fold_in(master, 0x5EED)
-        params = u_to_params(u)
-
-        def step(carry, inp):
-            Xc, yc, n = carry
-            t, beta = inp
-            mask = (jnp.arange(cap) < n).astype(jnp.float32)
-            L, alpha = _posterior_factor(Xc, yc, mask, params)
-            Kinv = _posterior_inverse(L, mask)
-            kacq = jax.random.fold_in(rkey, rng_off + t)
-            starts = lo + (hi - lo) * jax.random.uniform(
-                kacq, (n_inits_acq, d))
-            lr = jnp.max(hi - lo) / 10.0
-
-            def one(x0):
-                return adam_minimize(
-                    lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
-                                                  alpha, params, beta),
-                    x0, 150, lr, lo, hi)
-
-            xs, fs = jax.vmap(one)(starts)
-            theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
-                                            jnp.inf))]
-            if eps > 0.0:
-                # eps-greedy global anchor (LCBSC.epsilon): a measured
-                # fraction of acquisitions is pure prior-box coverage —
-                # the 2026-08-20 MA2 decomposition showed LCBSC evidence
-                # placement (not GP/threshold/sampler) drives the
-                # low-evidence t1 bias, and uniform coverage halves it.
-                kexp = jax.random.fold_in(rkey, 4 * rng_off + t)
-                coin = jax.random.uniform(jax.random.fold_in(kexp, 0))
-                unif = lo + (hi - lo) * jax.random.uniform(
-                    jax.random.fold_in(kexp, 1), (d,))
-                theta = jnp.where(coin < eps, unif, theta)
-            if noise_var is not None:
-                knoise = jax.random.fold_in(rkey, 2 * rng_off + t)
-                from ..ops.distributions import truncnorm as _tn
-                # zero-noise dims pass theta through unchanged (the
-                # host path's _add_noise skips them): with std=0 the
-                # raw a/b are 0/0 = NaN whenever the LCB minimizer
-                # lands exactly on a bound — which adam's clipping
-                # makes common — so divide by a safe std and select
-                safe = jnp.where(noise_std > 0, noise_std, 1.0)
-                a = (lo - theta) / safe
-                b = (hi - theta) / safe
-                prop = _tn.rvs(a, b, loc=theta, scale=safe,
-                               size=(d,), key=knoise)
-                theta = jnp.where(noise_std > 0, prop, theta)
-            overrides = {p: theta[i][None]
-                         for i, p in enumerate(pnames)}
-            y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
-                           overrides)[target_name].reshape(())
-            Xc = Xc.at[n].set(theta)
-            yc = yc.at[n].set(y_new)
-            return (Xc, yc, n + 1), None
-
-        (Xc, yc, n), _ = jax.lax.scan(
-            step, (Xc, yc, n), (ts, betas_seg))
-        return Xc, yc, n
 
     def refit_run(master, Xc, yc, u, shapes, n, t):
         rkey = jax.random.fold_in(master, 0x5EED)
@@ -230,6 +256,64 @@ def _fused_bo_programs(spec, init_fn, sim_fn):
             st.at[0].set(u), Xc, yc, mask, shapes, jnp.float32(0.1),
             steps=120, const_params={"scales": gp_scales})
         return u_new
+
+    fns = (heuristic_params, u_to_params, init_gp_fit, refit_run)
+    _GP_LOOP_FNS[gp_spec] = fns
+    return fns
+
+
+def _fused_bo_programs(spec, init_fn, sim_fn):
+    """``(init_jit, segment_jit, refit_jit)`` for one fused-BO config.
+
+    init: draw + simulate the initial evidence and MAP-fit the GP.
+    segment: one refit-to-refit window of acquisitions as a lax.scan.
+    refit: scheduled warm-started MAP hyperparameter refit.
+    """
+    memo_key = (spec, init_fn, sim_fn)
+    progs = _FUSED_BO_PROGRAMS.get(memo_key)
+    if progs is not None:
+        return progs
+
+    import jax
+    import jax.numpy as jnp
+
+    cap, d, n_init = spec.cap, spec.d, spec.n_init
+    n_restarts, n_inits_acq = spec.n_restarts, spec.n_inits_acq
+    rng_off = spec.rng_off
+    eps = float(spec.epsilon)
+    pnames, target_name = spec.pnames, spec.target_name
+
+    _, u_to_params, init_gp_fit, refit_run = _make_gp_loop_fns(
+        (cap, n_init, n_restarts, rng_off, spec.gp_scales))
+    select = _make_theta_selector((cap, d, n_inits_acq, rng_off,
+                                   spec.lo, spec.hi, spec.noise_std, eps))
+
+    def init_run(master):
+        out = init_fn(master, jnp.uint32(0), {})
+        y0 = out[target_name].reshape(-1).astype(jnp.float32)
+        X0 = jnp.stack([out[p].reshape(-1) for p in pnames],
+                       axis=1).astype(jnp.float32)
+        return init_gp_fit(master, X0, y0)
+
+    def segment_run(master, Xc, yc, u, n, ts, betas_seg):
+        rkey = jax.random.fold_in(master, 0x5EED)
+        params = u_to_params(u)
+
+        def step(carry, inp):
+            Xc, yc, n = carry
+            t, beta = inp
+            theta = select(rkey, Xc, yc, n, params, t, beta)
+            overrides = {p: theta[i][None]
+                         for i, p in enumerate(pnames)}
+            y_new = sim_fn(master, (t + 1).astype(jnp.uint32),
+                           overrides)[target_name].reshape(())
+            Xc = Xc.at[n].set(theta)
+            yc = yc.at[n].set(y_new)
+            return (Xc, yc, n + 1), None
+
+        (Xc, yc, n), _ = jax.lax.scan(
+            step, (Xc, yc, n), (ts, betas_seg))
+        return Xc, yc, n
 
     progs = (jax.jit(init_run), jax.jit(segment_run), jax.jit(refit_run))
     if len(_FUSED_BO_PROGRAMS) >= _FUSED_BO_PROGRAMS_CAP:
@@ -558,19 +642,7 @@ class BOLFI(BayesianOptimization):
                               jnp.int32(seg_start + seg_len - 1))
         Xf, yf, uf = jax.device_get((Xc, yc, u))
 
-        # install the fused result into the GP / inference state
-        gp._x = np.asarray(Xf[:n_total], np.float64)
-        gp._y = np.asarray(yf[:n_total], np.float64)
-        vals = np.exp(np.asarray(uf, np.float64))
-        gp.params = dict(zip(("sigma2", "ell", "bias", "noise"),
-                             vals.tolist()))
-        gp.params["scales"] = np.asarray(gp_scales)
-        y0 = gp._y[:n_init]
-        gp._prior_shapes = np.array([
-            (np.max(np.abs(y0)) / 3.0) ** 2 + 1e-6,
-            1.0 / 3.0,
-            (np.max(np.abs(y0)) / 3.0) ** 2 / 4.0 + 1e-6, 0.0])
-        gp._refactor()
+        _install_fused_gp(gp, Xf, yf, uf, n_total, n_init, gp_scales)
         self.state["n_evidence"] = n_total
         self.state["n_batches"] = n_total
         self.state["n_sim"] = n_total

@@ -10,6 +10,7 @@ GP surrogate.  Posterior sampling runs vmapped device NUTS."""
 from __future__ import annotations
 
 import logging
+from typing import NamedTuple
 
 import numpy as np
 
@@ -27,6 +28,134 @@ from . import mcmc
 logger = logging.getLogger(__name__)
 
 __all__ = ["BOLFIRE"]
+
+
+# -- fused BOLFIRE fit -----------------------------------------------------------
+#
+# Mirrors BOLFI's segmented fused BO loop (bolfi.py:_fused_bo_programs) with
+# the scalar "simulate the discrepancy at theta" replaced by a full
+# classifier round: simulate ``n_training_data`` feature rows at theta,
+# fit the device logistic regression against the (jit-arg) marginal rows,
+# and feed the negative log-ratio at the observed features to the GP.
+# Theta selection and GP init/refit are the SAME memoized programs BOLFI
+# uses (_make_theta_selector / _make_gp_loop_fns), so the acquisition
+# trajectory machinery is validated once.  The marginal and observed
+# feature arrays flow through jit ARGUMENTS, not closures, so one compiled
+# program set serves every instance sharing a model + configuration
+# (warmup/measure, Testbench replication).
+
+class _FusedBolfireSpec(NamedTuple):
+    """Static (hashable) configuration of one fused BOLFIRE fit."""
+    cap: int
+    d: int
+    n_init: int
+    n_restarts: int
+    n_inits_acq: int
+    rng_off: int
+    pnames: tuple
+    feat_names: tuple
+    lo: tuple
+    hi: tuple
+    noise_std: tuple | None
+    gp_scales: tuple
+    epsilon: float
+    n_train: int
+
+
+_FUSED_BOLFIRE_PROGRAMS = {}
+_FUSED_BOLFIRE_PROGRAMS_CAP = 8
+_LOGREG_NEWTON = 25
+
+
+def _fused_bolfire_programs(spec, feat_fn):
+    """``(init_jit, segment_jit, refit_jit)`` for one fused BOLFIRE
+    config.
+
+    init: uniform-box initial thetas -> vmapped classifier rounds ->
+    GP MAP fit.  segment: one refit-to-refit window of LCBSC
+    acquisitions, each with an in-scan classifier round.  refit: shared
+    warm-started GP hyperparameter refit.  Per-round classifier
+    coefficients come back as scan outputs for ``classifier_attributes``
+    parity."""
+    memo_key = (spec, feat_fn)
+    progs = _FUSED_BOLFIRE_PROGRAMS.get(memo_key)
+    if progs is not None:
+        return progs
+
+    import jax
+    import jax.numpy as jnp
+    from .bolfi import _make_gp_loop_fns, _make_theta_selector
+    from .classifier import logreg_fit_core
+
+    cap, d, n_init, n_train = spec.cap, spec.d, spec.n_init, spec.n_train
+    pnames, feat_names = spec.pnames, spec.feat_names
+    lo = jnp.asarray(np.asarray(spec.lo, np.float32))
+    hi = jnp.asarray(np.asarray(spec.hi, np.float32))
+
+    _, u_to_params, init_gp_fit, refit_run = _make_gp_loop_fns(
+        (cap, n_init, spec.n_restarts, spec.rng_off, spec.gp_scales))
+    select = _make_theta_selector(
+        (cap, d, spec.n_inits_acq, spec.rng_off, spec.lo, spec.hi,
+         spec.noise_std, float(spec.epsilon)))
+
+    def features_at(master, idx, theta):
+        ov = {p: jnp.broadcast_to(theta[j], (n_train,))
+              for j, p in enumerate(pnames)}
+        out = feat_fn(master, idx, ov)
+        return jnp.concatenate(
+            [out[nm].reshape(n_train, -1) for nm in feat_names],
+            axis=1).astype(jnp.float32)
+
+    def neg_log_ratio(feats, marginal, obs):
+        # one classifier round: likelihood rows (+1) vs marginal rows
+        # (-1), log-ratio at the observed features (reference
+        # ``bolfire.py:126-144,371-391``; device logreg replaces sklearn)
+        X = jnp.concatenate([feats, marginal.astype(jnp.float32)], axis=0)
+        y = jnp.concatenate([jnp.ones(n_train, jnp.float32),
+                             -jnp.ones(marginal.shape[0], jnp.float32)])
+        w, b, mu, sd = logreg_fit_core(X, y, n_newton=_LOGREG_NEWTON)
+        z = ((obs.astype(jnp.float32) - mu) / sd) @ w + b
+        return -z[0], w, b
+
+    def init_run(master, marginal, obs):
+        # initial evidence: device uniform draws over the prior box
+        # (eligibility guarantees prior == box); round i uses batch
+        # index i, acquisitions continue at n_init + t
+        kinit = jax.random.fold_in(master, 0x1B01F1)
+        theta0 = lo + (hi - lo) * jax.random.uniform(kinit, (n_init, d))
+
+        def one(i, th):
+            feats = features_at(master, i.astype(jnp.uint32), th)
+            return neg_log_ratio(feats, marginal, obs)
+
+        y0, ws, bs = jax.vmap(one)(jnp.arange(n_init), theta0)
+        Xp, yp, u0, shapes = init_gp_fit(master, theta0, y0)
+        return Xp, yp, u0, shapes, ws, bs
+
+    def segment_run(master, Xc, yc, u, n, ts, betas_seg, marginal, obs):
+        rkey = jax.random.fold_in(master, 0x5EED)
+        params = u_to_params(u)
+
+        def step(carry, inp):
+            Xc, yc, n = carry
+            t, beta = inp
+            theta = select(rkey, Xc, yc, n, params, t, beta)
+            feats = features_at(master, (n_init + t).astype(jnp.uint32),
+                                theta)
+            y_new, w, b = neg_log_ratio(feats, marginal, obs)
+            Xc = Xc.at[n].set(theta)
+            yc = yc.at[n].set(y_new)
+            return (Xc, yc, n + 1), (w, b)
+
+        (Xc, yc, n), (ws, bs) = jax.lax.scan(step, (Xc, yc, n),
+                                             (ts, betas_seg))
+        return Xc, yc, n, ws, bs
+
+    progs = (jax.jit(init_run), jax.jit(segment_run), jax.jit(refit_run))
+    if len(_FUSED_BOLFIRE_PROGRAMS) >= _FUSED_BOLFIRE_PROGRAMS_CAP:
+        _FUSED_BOLFIRE_PROGRAMS.pop(next(iter(_FUSED_BOLFIRE_PROGRAMS)))
+    _FUSED_BOLFIRE_PROGRAMS[memo_key] = progs
+    return progs
 
 
 class BOLFIRE(ModelBased):
@@ -77,13 +206,25 @@ class BOLFIRE(ModelBased):
         self.classifier.fit(X, y)
         return self.classifier.predict_log_likelihood_ratio(X_obs)
 
-    def fit(self, n_evidence, bar=True):
+    def fit(self, n_evidence, bar=True, fused=None):
+        """Fit the surrogate.  ``fused=None`` auto-selects the fused
+        device loop when eligible (:meth:`_fused_eligible`); ``False``
+        forces the host round loop (sklearn classifier + incremental GP
+        updates), ``True`` asserts eligibility."""
         logger.info("BOLFIRE: Fitting the surrogate model...")
-        if isinstance(n_evidence, int) and n_evidence > 0:
-            if n_evidence < self.n_evidence:
-                logger.warning("Requesting less evidence than already exists")
-            return self.infer(n_evidence, bar=bar)
-        raise TypeError("n_evidence must be a positive integer")
+        if not (isinstance(n_evidence, int) and n_evidence > 0):
+            raise TypeError("n_evidence must be a positive integer")
+        if n_evidence < self.n_evidence:
+            logger.warning("Requesting less evidence than already exists")
+        if fused is None:
+            fused = self._fused_eligible()
+        elif fused and not self._fused_eligible():
+            raise ValueError("fused=True but this configuration is not "
+                             "eligible for the fused BOLFIRE fit")
+        if fused:
+            self._fused_fit(n_evidence)
+            return self.extract_result()
+        return self.infer(n_evidence, bar=bar)
 
     def sample(self, n_samples, warmup=None, n_chains=4, initials=None,
                algorithm="nuts", sigma_proposals=None, n_evidence=None,
@@ -178,6 +319,7 @@ class BOLFIRE(ModelBased):
         raise TypeError("target_model must be a GPRegression")
 
     def _resolve_acquisition_method(self, acquisition_method):
+        self._default_acquisition = acquisition_method is None
         if acquisition_method is None:
             # additive -log prior cost (reference ``bolfire.py:333-346``);
             # the traceable form enables the device-side acquisition path
@@ -206,6 +348,148 @@ class BOLFIRE(ModelBased):
         else:
             t = self.n_evidence - self.n_initial_evidence
             self._current_params = self.acquisition_method.acquire(1, t)
+
+    def _fused_eligible(self):
+        """Whether :meth:`_fused_fit` can replace the host round loop.
+
+        Beyond BOLFI's conditions (native client, default LCBSC, default
+        GP kernel, fresh state), the fused path requires (a) the DEFAULT
+        sklearn-configured :class:`LogisticRegression` (the device logreg
+        solves the same standardized L2 primal), (b) one batch per round
+        (``batch_size == n_training_data``), and (c) a uniform-box prior
+        equal to the optimization bounds — the fused acquisition
+        objective drops the additive ``-log prior`` cost term, which is
+        only valid where that term is constant over the clipped search
+        box."""
+        from ..compile.compiler import compile_program
+        from ..parallel.backends import NativeBackend
+        from .bo.acquisition import LCBSC
+
+        clf = self.classifier
+        if not (self.pool is None
+                and self.batch_size == self.n_sim_round
+                and isinstance(self.client, NativeBackend)
+                and type(self.acquisition_method) is LCBSC
+                and self.acquisition_method.constraints is None
+                and self._default_acquisition
+                and type(clf) is LogisticRegression
+                and clf.class_min == 0
+                and clf.config == {"solver": "liblinear", "l1_ratio": 1.0}
+                and not getattr(self.target_model, "custom_kernel", False)
+                and self.state["n_evidence"] == 0
+                and self.n_initial_evidence > 0):
+            return False
+        box = self.prior.box()
+        if box is None:
+            return False
+        bounds = np.asarray(self.target_model.bounds, np.float64)
+        if not (np.allclose(box[0], bounds[:, 0])
+                and np.allclose(box[1], bounds[:, 1])):
+            return False
+        prog = compile_program(self.model, tuple(self.feature_names),
+                               override_names=tuple(self.parameter_names))
+        return not prog.host
+
+    def _fused_fit(self, n_evidence):
+        """Segmented fused BOLFIRE fit (see `_fused_bolfire_programs`);
+        statistical parity with the host loop (device RNG streams and the
+        device logreg replace the host RandomState + sklearn — same
+        estimators, different draws), validated by the same accuracy
+        gates as the host path."""
+        import jax
+        import jax.numpy as jnp
+        from ..compile.compiler import compile_program
+        from .bo.gp import _pad_cap
+        from .bolfi import _install_fused_gp
+
+        gp = self.target_model
+        acq = self.acquisition_method
+        d = gp.input_dim
+        n_init = self.n_initial_evidence
+        n_total = int(n_evidence)
+        n_acq = n_total - n_init
+        cap = _pad_cap(n_total)
+        bounds = np.asarray(gp.bounds, np.float32)
+        noise_var = acq.noise_var
+        if noise_var is not None:
+            noise_std = tuple(np.asarray(jnp.sqrt(jnp.broadcast_to(
+                jnp.asarray(noise_var, jnp.float32), (d,)))).tolist())
+        else:
+            noise_std = None
+        betas = jnp.asarray([acq._beta(t) for t in range(max(n_acq, 1))],
+                            jnp.float32)
+        # refit schedule: mirrors _should_optimize (n_init threshold +
+        # update_interval cadence), segmented exactly like BOLFI's
+        refit = np.zeros(max(n_acq, 1), bool)
+        last = n_init
+        for t in range(n_acq):
+            cur = n_init + t + 1
+            if cur >= n_init and cur >= last + self.update_interval:
+                refit[t] = True
+                last = cur
+        segments, start = [], 0
+        for t in range(n_acq):
+            if refit[t]:
+                segments.append((start, t + 1 - start, True))
+                start = t + 1
+        if start < n_acq:
+            segments.append((start, n_acq - start, False))
+
+        prog = compile_program(self.model, tuple(self.feature_names),
+                               override_names=tuple(self.parameter_names))
+        feat_fn = prog.traceable(batch_size=self.n_sim_round)
+        gp_scales = np.asarray(
+            1.0 / np.maximum(bounds[:, 1] - bounds[:, 0], 1e-12),
+            np.float32)
+        spec = _FusedBolfireSpec(
+            cap=cap, d=d, n_init=n_init, n_restarts=gp._n_restarts,
+            n_inits_acq=acq.n_inits, rng_off=max(n_acq, 1000),
+            pnames=tuple(self.parameter_names),
+            feat_names=tuple(self.feature_names),
+            lo=tuple(bounds[:, 0].tolist()),
+            hi=tuple(bounds[:, 1].tolist()),
+            noise_std=noise_std, gp_scales=tuple(gp_scales.tolist()),
+            epsilon=float(getattr(acq, "epsilon", 0.0)),
+            n_train=self.n_sim_round)
+
+        init_jit, segment_jit, refit_jit = _fused_bolfire_programs(
+            spec, feat_fn)
+        master = jax.random.key(self.seed)
+        marginal_dev = jnp.asarray(self.marginal, jnp.float32)
+        obs_dev = jnp.asarray(self.observed, jnp.float32)
+        Xc, yc, u, shapes, ws0, bs0 = init_jit(master, marginal_dev,
+                                               obs_dev)
+        n = jnp.int32(n_init)
+        all_w, all_b = [np.asarray(ws0)], [np.asarray(bs0)]
+        for seg_start, seg_len, do_refit in segments:
+            ts = jnp.arange(seg_start, seg_start + seg_len,
+                            dtype=jnp.int32)
+            Xc, yc, n, ws, bs = segment_jit(
+                master, Xc, yc, u, n, ts,
+                betas[seg_start:seg_start + seg_len], marginal_dev,
+                obs_dev)
+            all_w.append(np.asarray(ws))
+            all_b.append(np.asarray(bs))
+            if do_refit:
+                u = refit_jit(master, Xc, yc, u, shapes, n,
+                              jnp.int32(seg_start + seg_len - 1))
+        Xf, yf, uf = jax.device_get((Xc, yc, u))
+        _install_fused_gp(gp, Xf, yf, uf, n_total, n_init, gp_scales)
+        W = np.concatenate(all_w)
+        B = np.concatenate(all_b)
+        self.classifier_attributes = [
+            {"parameters": {"coef_": [W[i].tolist()],
+                            "intercept_": [float(B[i])],
+                            "n_iter": [_LOGREG_NEWTON]}}
+            for i in range(n_total)]
+        self.state["n_evidence"] = n_total
+        self.state["n_batches"] = n_total
+        self.state["n_sim"] = n_total * self.n_sim_round
+        self.state["last_GP_update"] = n_total
+        self.state["round"] = n_total
+        self.state["n_sim_round"] = 0
+        self.objective["round"] = n_total
+        self.objective["n_batches"] = n_total
 
     def _process_simulated(self):
         """Classifier fit -> negative log-ratio -> GP update (reference

@@ -75,6 +75,46 @@ class LogisticRegression(Classifier):
             "n_iter": self.model.n_iter_.tolist()}}
 
 
+def logreg_fit_core(X, y, n_newton=25, C=1.0):
+    """Traceable L2-penalized logistic regression on standardized
+    features — the device equivalent of :class:`LogisticRegression`'s
+    default sklearn configuration for BOLFIRE's fused fit.
+
+    Matches the liblinear formulation ``min 0.5 v'v + C sum
+    log(1+exp(-y_i v.x_i))`` with C=1 on StandardScaler-transformed
+    features and the intercept REGULARIZED (liblinear appends the
+    intercept as a unit feature inside the penalty).  Full Newton on the
+    (f+1)-dim system — the L2 term keeps the Hessian >= I, so undamped
+    steps are bounded and n_newton=25 converges far past liblinear's
+    1e-4 default tolerance on these low-dimensional ratio problems
+    (coefficient-parity unit test in tests/functional/test_bolfire.py).
+
+    Returns ``(w, b, mu, sd)``: coefficients/intercept in STANDARDIZED
+    space plus the feature means/scales, so the log-ratio at a query
+    point x is ``((x - mu) / sd) @ w + b`` (equal to sklearn's decision
+    function, i.e. ``log p/(1-p)`` with ``class_min=0``).
+    """
+    X = X.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    mu = jnp.mean(X, axis=0)
+    sd = jnp.sqrt(jnp.var(X, axis=0))
+    sd = jnp.where(sd > 0, sd, 1.0)          # sklearn: constant cols -> 1
+    Xs = (X - mu) / sd
+    n, f = X.shape
+    Xt = jnp.concatenate([Xs, jnp.ones((n, 1), jnp.float32)], axis=1)
+    eye = jnp.eye(f + 1, dtype=jnp.float32)
+
+    def body(_, v):
+        m = y * (Xt @ v)
+        g = v + C * (Xt.T @ (-y * jax.nn.sigmoid(-m)))
+        W = jax.nn.sigmoid(m) * jax.nn.sigmoid(-m)
+        H = eye + C * (Xt.T @ (W[:, None] * Xt))
+        return v - jnp.linalg.solve(H, g)
+
+    v = jax.lax.fori_loop(0, n_newton, body, jnp.zeros(f + 1, jnp.float32))
+    return v[:f], v[f], mu, sd
+
+
 @jax.jit
 def _laplace_mode(K, y01, n_newton=20):
     """Newton iterations for the Laplace-approximation latent mode

@@ -54,9 +54,36 @@ def test_bolfire_sample(bolfire_fitted):
     assert np.all(np.abs(res.sample_means_array) < 3)
 
 
-def test_bolfire_gnk_smoke():
+def test_logreg_core_matches_sklearn():
+    """The device logreg (fused BOLFIRE's classifier) must reproduce
+    sklearn's log-likelihood-ratios in the overlapping-classes regime
+    BOLFIRE operates in (weakly separable features, thousands of rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from elfi_tpu.methods.classifier import logreg_fit_core
+
+    rng = np.random.RandomState(3)
+    X = np.vstack([rng.normal(0.3, 1, (2000, 3)),
+                   rng.normal(-0.3, 1, (2000, 3))])
+    y = np.concatenate([np.ones(2000), -np.ones(2000)])
+    skl = LogisticRegression()
+    skl.fit(X, y)
+    w, b, mu, sd = jax.jit(logreg_fit_core)(jnp.asarray(X),
+                                            jnp.asarray(y))
+    Xq = rng.normal(0, 1.5, (20, 3))
+    ref = skl.predict_log_likelihood_ratio(Xq)
+    dev = ((Xq - np.asarray(mu)) / np.asarray(sd)) @ np.asarray(w) \
+        + float(b)
+    np.testing.assert_allclose(dev, ref, atol=0.05)
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_bolfire_gnk_smoke(fused):
     """BASELINE.md config: BOLFIRE runs end-to-end on 4-d g-and-k (tiny
-    budget — mechanics only, not posterior quality)."""
+    budget — mechanics only, not posterior quality) on BOTH the fused
+    device loop (auto-selected: uniform-box prior == bounds) and the
+    host round loop."""
     from elfi_tpu.models import gnk
 
     m = gnk.get_model(n_obs=50, seed_obs=2)
@@ -65,7 +92,12 @@ def test_bolfire_gnk_smoke():
                            bounds={p: (0.0, 10.0)
                                    for p in m.parameter_names},
                            n_initial_evidence=8, seed=5)
-    bolfire.fit(n_evidence=12, bar=False)
+    assert bolfire._fused_eligible()
+    bolfire.fit(n_evidence=12, bar=False, fused=fused)
+    assert bolfire.target_model.n_evidence == 12
+    assert len(bolfire.classifier_attributes) == 12
+    ev = np.asarray(bolfire.target_model.X)
+    assert np.all((ev >= 0.0) & (ev <= 10.0))
     res = bolfire.sample(100, n_chains=2, bar=False)
     arr = res.samples_array
     assert arr.shape[1] == 4 and np.all(np.isfinite(arr))

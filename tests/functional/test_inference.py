@@ -141,15 +141,19 @@ def test_bolfire_accuracy(m6):
     check(res, 0.4)
 
 
-def test_bolfire_accuracy_lfire_gaussian():
+@pytest.mark.parametrize("fused", [True, False])
+def test_bolfire_accuracy_lfire_gaussian(fused):
     """Reference parity: the LFIRE-paper 1-D gaussian toy with 10
     polynomial features (reference ``tests/functional/test_bolfire.py:
     70-108``) — an expressive classifier, so BOLFIRE is sharp: MAP within
     0.5 and sampled mean within 1.5 of the true location, the reference's
     own tolerances.  Observed data is pinned at the true mean (the
     reference's seeded draw plays the same informative-data role; a draw
-    1 sd out moves the true MAP to the bound).  3-seed study 2026-08-20:
-    MAP 2.48/2.51/2.70, means 1.33-1.60."""
+    1 sd out moves the true MAP to the bound).  3-seed study 2026-08-20
+    (host path): MAP 2.48/2.51/2.70, means 1.33-1.60.  The prior is a
+    uniform box equal to the bounds, so this config is fused-eligible:
+    both the fused device loop and the host round loop must pass the
+    same reference tolerances."""
     import jax
 
     def gauss(mu, batch_size=1, key=None, n_obs=1):
@@ -167,7 +171,8 @@ def test_bolfire_accuracy_lfire_gaussian():
     bolfire = elfi.BOLFIRE(m, n_training_data=500, batch_size=500,
                            n_initial_evidence=10, update_interval=1,
                            bounds={"mu": (-5, 5)}, seed=1)
-    bolfire.fit(n_evidence=100, bar=False)
+    assert bolfire._fused_eligible()
+    bolfire.fit(n_evidence=100, bar=False, fused=fused)
     maps = bolfire.extract_result().map_estimates
     assert abs(float(np.ravel(maps["mu"])[0]) - true_mu) < 0.5
     res = bolfire.sample(400, n_chains=4, bar=False)
