@@ -287,6 +287,17 @@ class BOLFIRE(ModelBased):
     # -- internals ---------------------------------------------------------------
     def _resolve_marginal(self, marginal, seed_marginal=None):
         if marginal is None:
+            if seed_marginal is None:
+                # derive from the method seed: an unseeded marginal made
+                # BOLFIRE the ONLY method that was nondeterministic per
+                # seed (measured 2026-08-20: same-seed gnk bench runs
+                # landed A anywhere in 3.1-4.9 purely from marginal
+                # resampling — the per-seed determinism invariant every
+                # other method keeps).  A SEPARATE offset stream leaves
+                # self._random_state's draw sequence (initial evidence
+                # thetas) exactly as before
+                seed_marginal = int(np.random.RandomState(
+                    (self.seed + 0x9E3779B9) % 2**32).randint(2**31))
             batch = self.model.generate(self.n_sim_round,
                                         outputs=self.feature_names,
                                         seed=seed_marginal)

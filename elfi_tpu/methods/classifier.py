@@ -83,10 +83,16 @@ def logreg_fit_core(X, y, n_newton=25, C=1.0):
     Matches the liblinear formulation ``min 0.5 v'v + C sum
     log(1+exp(-y_i v.x_i))`` with C=1 on StandardScaler-transformed
     features and the intercept REGULARIZED (liblinear appends the
-    intercept as a unit feature inside the penalty).  Full Newton on the
-    (f+1)-dim system — the L2 term keeps the Hessian >= I, so undamped
-    steps are bounded and n_newton=25 converges far past liblinear's
-    1e-4 default tolerance on these low-dimensional ratio problems
+    intercept as a unit feature inside the penalty).  Damped Newton on
+    the (f+1)-dim system with a vectorized backtracking line search:
+    H >= I makes every Newton direction a descent direction, but the
+    FULL step diverges on badly-scaled real features — gnk's squared
+    octiles span 11 orders of magnitude, and the undamped iteration was
+    measured (2026-08-20, float64 too, so algorithmic not precision) to
+    blow the log-ratio up to |z| ~ 2500 vs sklearn's 1.6, poisoning the
+    BOLFIRE GP surface.  With damping the iterate matches the true
+    optimum (same converged loss as scipy BFGS) and sklearn's log-ratios
+    track to ~0.1 in the overlapping-classes regime
     (coefficient-parity unit test in tests/functional/test_bolfire.py).
 
     Returns ``(w, b, mu, sd)``: coefficients/intercept in STANDARDIZED
@@ -103,13 +109,28 @@ def logreg_fit_core(X, y, n_newton=25, C=1.0):
     n, f = X.shape
     Xt = jnp.concatenate([Xs, jnp.ones((n, 1), jnp.float32)], axis=1)
     eye = jnp.eye(f + 1, dtype=jnp.float32)
+    ts = 0.5 ** jnp.arange(20, dtype=jnp.float32)    # 1, 1/2, ... 2^-19
 
     def body(_, v):
-        m = y * (Xt @ v)
+        z0 = Xt @ v
+        m = y * z0
         g = v + C * (Xt.T @ (-y * jax.nn.sigmoid(-m)))
         W = jax.nn.sigmoid(m) * jax.nn.sigmoid(-m)
         H = eye + C * (Xt.T @ (W[:, None] * Xt))
-        return v - jnp.linalg.solve(H, g)
+        step = jnp.linalg.solve(H, g)
+        zs = Xt @ step
+
+        def loss_at(t):
+            vt = v - t * step
+            mt = y * (z0 - t * zs)
+            return (0.5 * jnp.sum(vt * vt)
+                    + C * jnp.sum(jnp.logaddexp(0.0, -mt)))
+
+        l0 = loss_at(jnp.float32(0.0))
+        ls = jax.vmap(loss_at)(ts)
+        ok = ls < l0
+        t = jnp.where(jnp.any(ok), ts[jnp.argmax(ok)], 0.0)
+        return v - t * step
 
     v = jax.lax.fori_loop(0, n_newton, body, jnp.zeros(f + 1, jnp.float32))
     return v[:f], v[f], mu, sd

@@ -78,6 +78,42 @@ def test_logreg_core_matches_sklearn():
     np.testing.assert_allclose(dev, ref, atol=0.05)
 
 
+def test_logreg_core_survives_ill_scaled_features():
+    """Regression for the 2026-08-20 fused-BOLFIRE accuracy collapse:
+    gnk's squared-octile features span ~11 orders of magnitude, and the
+    UNDAMPED Newton diverged on them (log-ratios ~ -2500 vs sklearn's
+    -1.6, float64 identical — algorithmic, not precision), poisoning the
+    GP surface (gnk bench A errors up to 2.7 vs host 0.58).  The damped
+    iteration must stay at the optimum: sane log-ratios, objective value
+    no worse than sklearn's solution under OUR objective."""
+    import jax
+    import jax.numpy as jnp
+
+    from elfi_tpu.methods.classifier import logreg_fit_core
+
+    rng = np.random.RandomState(7)
+    scales = np.array([1.0, 1e3, 1e6, 1e9])
+    X = np.vstack([rng.lognormal(0.3, 2, (1500, 4)),
+                   rng.lognormal(0.0, 2, (1500, 4))]) * scales
+    y = np.concatenate([np.ones(1500), -np.ones(1500)])
+    w, b, mu, sd = jax.jit(logreg_fit_core)(jnp.asarray(X), jnp.asarray(y))
+    Xq = rng.lognormal(0.15, 2, (10, 4)) * scales
+    z = ((Xq - np.asarray(mu)) / np.asarray(sd)) @ np.asarray(w) + float(b)
+    assert np.all(np.abs(z) < 50), z
+
+    skl = LogisticRegression()
+    skl.fit(X, y)
+
+    def objective(v):
+        Xs = (X - np.asarray(mu)) / np.asarray(sd)
+        m = y * (Xs @ v[:-1] + v[-1])
+        return 0.5 * np.sum(v * v) + np.sum(np.logaddexp(0.0, -m))
+
+    v_dev = np.concatenate([np.asarray(w), [float(b)]])
+    v_skl = np.concatenate([skl.model.coef_[0], skl.model.intercept_])
+    assert objective(v_dev) <= objective(v_skl) + 1.0
+
+
 @pytest.mark.parametrize("fused", [True, False])
 def test_bolfire_gnk_smoke(fused):
     """BASELINE.md config: BOLFIRE runs end-to-end on 4-d g-and-k (tiny
