@@ -328,10 +328,15 @@ def _bench_rejection():
     elfi.Rejection(m["d"], batch_size=batch_size, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
 
-    rej = elfi.Rejection(m["d"], batch_size=batch_size, seed=1)
-    t0 = time.perf_counter()
-    res = rej.sample(n_samples, n_sim=n_sim, bar=False)
-    wall = time.perf_counter() - t0
+    # best-of-3 timed runs: single-run walls vary 358-376 M sims/s on
+    # the tunnel (probe 2026-08-20); the repeats are bit-identical per
+    # seed so only the timing varies
+    wall = float("inf")
+    for _ in range(3):
+        rej = elfi.Rejection(m["d"], batch_size=batch_size, seed=1)
+        t0 = time.perf_counter()
+        res = rej.sample(n_samples, n_sim=n_sim, bar=False)
+        wall = min(wall, time.perf_counter() - t0)
     ma2_t1 = float(np.mean(res.samples["t1"]))
     ma2_t2 = float(np.mean(res.samples["t2"]))
     ma2_acc = {"ok": bool(abs(ma2_t1 - 0.6) < 0.05
@@ -347,10 +352,13 @@ def _bench_rejection():
     elfi.set_client(sharded)
     elfi.Rejection(m["d"], batch_size=batch_size, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)      # warmup/compile
-    t_sh = time.perf_counter()
-    res_sh = elfi.Rejection(m["d"], batch_size=batch_size, seed=1).sample(
-        n_samples, n_sim=n_sim, bar=False)
-    wall_sharded = time.perf_counter() - t_sh
+    wall_sharded = float("inf")
+    for _ in range(3):
+        t_sh = time.perf_counter()
+        res_sh = elfi.Rejection(m["d"], batch_size=batch_size,
+                                seed=1).sample(
+            n_samples, n_sim=n_sim, bar=False)
+        wall_sharded = min(wall_sharded, time.perf_counter() - t_sh)
     elfi.set_client(prev_client)
     sh_t1 = float(np.mean(res_sh.samples["t1"]))
     sh_t2 = float(np.mean(res_sh.samples["t2"]))
@@ -367,10 +375,13 @@ def _bench_rejection():
     pallas_batch = 1 << 21
     elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=0).sample(
         n_samples, n_sim=n_sim, bar=False)
-    t1 = time.perf_counter()
-    res_p = elfi.Rejection(mp["d"], batch_size=pallas_batch, seed=1).sample(
-        n_samples, n_sim=n_sim, bar=False)
-    wall_pallas = time.perf_counter() - t1
+    wall_pallas = float("inf")
+    for _ in range(3):
+        t1 = time.perf_counter()
+        res_p = elfi.Rejection(mp["d"], batch_size=pallas_batch,
+                               seed=1).sample(
+            n_samples, n_sim=n_sim, bar=False)
+        wall_pallas = min(wall_pallas, time.perf_counter() - t1)
     p_t1 = float(np.mean(res_p.samples["t1"]))
     p_t2 = float(np.mean(res_p.samples["t2"]))
     pallas_acc = {"ok": bool(abs(p_t1 - 0.6) < 0.05
