@@ -10,7 +10,6 @@ client worker, ``bolfi.py:541-580``)."""
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -14,7 +14,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.scipy import special as jsp
 
 __all__ = ["Classifier", "LogisticRegression", "GPClassifier"]
 
