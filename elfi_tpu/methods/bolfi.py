@@ -84,20 +84,26 @@ _FUSED_BO_PROGRAMS_CAP = 8   # LRU bound: evicted entries GC like the
 _THETA_SELECTORS = {}
 
 
-def _make_theta_selector(sel_spec):
+def _make_theta_selector(sel_spec, cost_fn=None):
     """Theta selection for ONE fused LCBSC acquisition step:
     masked GP factorization -> vmapped Adam LCB descent -> eps-greedy
     uniform anchor -> truncnorm acquisition noise.
 
     ``sel_spec = (cap, d, n_inits_acq, rng_off, lo, hi, noise_std,
     epsilon)`` with lo/hi/noise_std as float tuples (noise_std ``None``
-    disables acquisition noise).  Shared by the BOLFI and BOLFIRE fused
+    disables acquisition noise).  ``cost_fn`` (optional, traceable
+    ``theta (d,) -> scalar``) is ADDED to the LCB objective — the
+    additive ``-log prior`` cost of non-uniform-prior BOLFIRE; with
+    ``cost_fn=None`` the emitted operations are byte-identical to the
+    pre-extraction BOLFI closures (the Python-level branch adds nothing
+    to the trace).  Shared by the BOLFI and BOLFIRE fused
     fits and memoized so equal configurations trace one program; the
     emitted operations are exactly the ones the 4-seed Ricker accuracy
     study validated (lowered-HLO byte-identity checked at extraction,
     scripts/bolfi_jaxpr_probe.py 2026-08-20).
     """
-    fn = _THETA_SELECTORS.get(sel_spec)
+    memo_key = (sel_spec, cost_fn)
+    fn = _THETA_SELECTORS.get(memo_key)
     if fn is not None:
         return fn
     import jax.numpy as jnp
@@ -130,10 +136,13 @@ def _make_theta_selector(sel_spec):
         lr = jnp.max(hi - lo) / 10.0
 
         def one(x0):
-            return adam_minimize(
-                lambda th: gp_neg_lcb_obj_inv(th, Xc, mask, Kinv,
-                                              alpha, params, beta),
-                x0, 150, lr, lo, hi)
+            if cost_fn is None:
+                objective = lambda th: gp_neg_lcb_obj_inv(  # noqa: E731
+                    th, Xc, mask, Kinv, alpha, params, beta)
+            else:
+                objective = lambda th: gp_neg_lcb_obj_inv(  # noqa: E731
+                    th, Xc, mask, Kinv, alpha, params, beta) + cost_fn(th)
+            return adam_minimize(objective, x0, 150, lr, lo, hi)
 
         xs, fs = jax.vmap(one)(starts)
         theta = xs[jnp.argmin(jnp.where(jnp.isfinite(fs), fs,
@@ -165,7 +174,7 @@ def _make_theta_selector(sel_spec):
             theta = jnp.where(noise_std > 0, prop, theta)
         return theta
 
-    _THETA_SELECTORS[sel_spec] = select
+    _THETA_SELECTORS[memo_key] = select
     return select
 
 

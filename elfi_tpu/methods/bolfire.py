@@ -66,18 +66,65 @@ _FUSED_BOLFIRE_PROGRAMS = {}
 _FUSED_BOLFIRE_PROGRAMS_CAP = 8
 _LOGREG_NEWTON = 25
 
+_PRIOR_COST_FNS = {}
 
-def _fused_bolfire_programs(spec, feat_fn):
+
+def _prior_cost_fn(prior):
+    """Memoized traceable ``theta (d,) -> -log prior(theta)`` for the
+    fused acquisition objective of non-uniform-box priors.
+
+    Keyed on the model revision + parameter names so instances sharing a
+    model share ONE selector program (a fresh closure per instance would
+    defeat `_make_theta_selector`'s memo).  Sanitized exactly like the
+    host path's ``ModelPrior.gradient_logpdf``: value clamped to a large
+    finite constant and gradient ZEROED outside the support (a -inf log
+    prior produces nan gradients that would freeze the Adam descent —
+    the same failure mode the NUTS leapfrog sanitization exists for)."""
+    key = (prior.model.revision, tuple(prior.parameter_names))
+    fn = _PRIOR_COST_FNS.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    lp = prior.traceable_logpdf()
+
+    def raw(theta):
+        return -lp(theta[None])[0]
+
+    @jax.custom_vjp
+    def cost(theta):
+        c = raw(theta)
+        return jnp.where(jnp.isfinite(c), c, jnp.float32(1e30))
+
+    def fwd(theta):
+        c, vjp = jax.vjp(raw, theta)
+        return jnp.where(jnp.isfinite(c), c, jnp.float32(1e30)), vjp
+
+    def bwd(vjp, ct):
+        (g,) = vjp(ct)
+        return (jnp.where(jnp.isfinite(g), g, 0.0),)
+
+    cost.defvjp(fwd, bwd)
+    if len(_PRIOR_COST_FNS) >= 16:
+        _PRIOR_COST_FNS.pop(next(iter(_PRIOR_COST_FNS)))
+    _PRIOR_COST_FNS[key] = cost
+    return cost
+
+
+def _fused_bolfire_programs(spec, feat_fn, prior_fn=None, cost_fn=None):
     """``(init_jit, segment_jit, refit_jit)`` for one fused BOLFIRE
     config.
 
-    init: uniform-box initial thetas -> vmapped classifier rounds ->
+    init: initial thetas (uniform box draws when ``prior_fn`` is None,
+    else one prior-program batch) -> vmapped classifier rounds ->
     GP MAP fit.  segment: one refit-to-refit window of LCBSC
-    acquisitions, each with an in-scan classifier round.  refit: shared
-    warm-started GP hyperparameter refit.  Per-round classifier
-    coefficients come back as scan outputs for ``classifier_attributes``
-    parity."""
-    memo_key = (spec, feat_fn)
+    acquisitions (objective + ``cost_fn`` when given — the additive
+    ``-log prior`` of non-box priors), each with an in-scan classifier
+    round.  refit: shared warm-started GP hyperparameter refit.
+    Per-round classifier coefficients come back as scan outputs for
+    ``classifier_attributes`` parity."""
+    memo_key = (spec, feat_fn, prior_fn, cost_fn)
     progs = _FUSED_BOLFIRE_PROGRAMS.get(memo_key)
     if progs is not None:
         return progs
@@ -96,7 +143,7 @@ def _fused_bolfire_programs(spec, feat_fn):
         (cap, n_init, spec.n_restarts, spec.rng_off, spec.gp_scales))
     select = _make_theta_selector(
         (cap, d, spec.n_inits_acq, spec.rng_off, spec.lo, spec.hi,
-         spec.noise_std, float(spec.epsilon)))
+         spec.noise_std, float(spec.epsilon)), cost_fn)
 
     def features_at(master, idx, theta):
         ov = {p: jnp.broadcast_to(theta[j], (n_train,))
@@ -118,11 +165,18 @@ def _fused_bolfire_programs(spec, feat_fn):
         return -z[0], w, b
 
     def init_run(master, marginal, obs):
-        # initial evidence: device uniform draws over the prior box
-        # (eligibility guarantees prior == box); round i uses batch
-        # index i, acquisitions continue at n_init + t
-        kinit = jax.random.fold_in(master, 0x1B01F1)
-        theta0 = lo + (hi - lo) * jax.random.uniform(kinit, (n_init, d))
+        # initial evidence thetas: uniform draws over the prior box
+        # (prior_fn None — eligibility guarantees prior == box), else
+        # one prior-program batch (any traceable joint prior).  Feature
+        # rounds use batch index i, acquisitions continue at n_init + t.
+        if prior_fn is None:
+            kinit = jax.random.fold_in(master, 0x1B01F1)
+            theta0 = lo + (hi - lo) * jax.random.uniform(kinit,
+                                                         (n_init, d))
+        else:
+            out0 = prior_fn(master, jnp.uint32(0), {})
+            theta0 = jnp.stack([out0[p].reshape(-1) for p in pnames],
+                               axis=1).astype(jnp.float32)
 
         def one(i, th):
             feats = features_at(master, i.astype(jnp.uint32), th)
@@ -367,11 +421,14 @@ class BOLFIRE(ModelBased):
         GP kernel, fresh state), the fused path requires (a) the DEFAULT
         sklearn-configured :class:`LogisticRegression` (the device logreg
         solves the same standardized L2 primal), (b) one batch per round
-        (``batch_size == n_training_data``), and (c) a uniform-box prior
-        equal to the optimization bounds — the fused acquisition
-        objective drops the additive ``-log prior`` cost term, which is
-        only valid where that term is constant over the clipped search
-        box."""
+        (``batch_size == n_training_data``), and (c) a DEVICE-traceable
+        prior: either a uniform box equal to the optimization bounds
+        (the validated fast path — the additive ``-log prior``
+        acquisition cost is constant over the clipped search box and is
+        dropped), or any joint prior whose rvs/logpdf subgraphs trace
+        (non-box priors add the sanitized ``-log prior`` cost to the
+        fused LCB objective and draw initial evidence from the prior
+        program, mirroring the host path)."""
         from ..compile.compiler import compile_program
         from ..parallel.backends import NativeBackend
         from .bo.acquisition import LCBSC
@@ -390,16 +447,30 @@ class BOLFIRE(ModelBased):
                 and self.state["n_evidence"] == 0
                 and self.n_initial_evidence > 0):
             return False
-        box = self.prior.box()
-        if box is None:
-            return False
-        bounds = np.asarray(self.target_model.bounds, np.float64)
-        if not (np.allclose(box[0], bounds[:, 0])
-                and np.allclose(box[1], bounds[:, 1])):
-            return False
+        if self._fused_box() is None:
+            try:
+                self.prior.traceable_logpdf()
+            except ValueError:        # host-path (scipy-adapter) priors
+                return False
+            prior_prog = compile_program(self.model,
+                                         tuple(self.parameter_names))
+            if prior_prog.host:
+                return False
         prog = compile_program(self.model, tuple(self.feature_names),
                                override_names=tuple(self.parameter_names))
         return not prog.host
+
+    def _fused_box(self):
+        """The prior box when it is uniform AND equal to the bounds
+        (the cost-free fused fast path), else ``None``."""
+        box = self.prior.box()
+        if box is None:
+            return None
+        bounds = np.asarray(self.target_model.bounds, np.float64)
+        if not (np.allclose(box[0], bounds[:, 0])
+                and np.allclose(box[1], bounds[:, 1])):
+            return None
+        return box
 
     def _fused_fit(self, n_evidence):
         """Segmented fused BOLFIRE fit (see `_fused_bolfire_programs`);
@@ -463,8 +534,15 @@ class BOLFIRE(ModelBased):
             epsilon=float(getattr(acq, "epsilon", 0.0)),
             n_train=self.n_sim_round)
 
+        if self._fused_box() is not None:
+            prior_fn = cost_fn = None      # validated cost-free box path
+        else:
+            prior_prog = compile_program(self.model,
+                                         tuple(self.parameter_names))
+            prior_fn = prior_prog.traceable(batch_size=n_init)
+            cost_fn = _prior_cost_fn(self.prior)
         init_jit, segment_jit, refit_jit = _fused_bolfire_programs(
-            spec, feat_fn)
+            spec, feat_fn, prior_fn, cost_fn)
         master = jax.random.key(self.seed)
         marginal_dev = jnp.asarray(self.marginal, jnp.float32)
         obs_dev = jnp.asarray(self.observed, jnp.float32)

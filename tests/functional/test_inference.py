@@ -120,7 +120,8 @@ def test_romc_accuracy(m6):
     check(res, 0.1)  # reference compares ROMC to rejection at atol 0.1
 
 
-def test_bolfire_accuracy(m6):
+@pytest.mark.parametrize("fused", [True, False])
+def test_bolfire_accuracy(m6, fused):
     """BOLFIRE gate at 0.4: an 8-seed study (2026-08-20, seeds 3-8 + 11,
     12 at this exact config) put the sampled means at t1 0.27-0.35 /
     t2 0.27-0.32 on EVERY seed (worst error 0.33) — the exact LFIRE
@@ -130,13 +131,17 @@ def test_bolfire_accuracy(m6):
     ratio, not an implementation error.  The r04 sign-flip bug this gate
     exists to catch produced errors of 1.1 (means at (-0.52, 0.39));
     the sharp-classifier case is gated at reference tolerances by
-    test_bolfire_accuracy_lfire_gaussian."""
+    test_bolfire_accuracy_lfire_gaussian.  MA2's triangle prior is NOT a
+    uniform box, so fused=True exercises the non-box fused path (prior
+    program init + sanitized -log prior acquisition cost); measured
+    2026-08-20 at this config: fused err (0.251, 0.072) vs host
+    (0.271, 0.071)."""
     bolfire = elfi.BOLFIRE(
         m6, n_training_data=500, batch_size=500,
         bounds={"t1": (-2, 2), "t2": (-1, 1)},
         n_initial_evidence=20, update_interval=10, acq_noise_var=0.1,
         seed=11)
-    bolfire.fit(n_evidence=100, bar=False)
+    bolfire.fit(n_evidence=100, bar=False, fused=fused)
     res = bolfire.sample(1000, n_chains=4, bar=False)
     check(res, 0.4)
 
