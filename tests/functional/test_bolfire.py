@@ -138,3 +138,29 @@ def test_bolfire_gnk_smoke(fused):
     arr = res.samples_array
     assert arr.shape[1] == 4 and np.all(np.isfinite(arr))
     assert np.all((arr >= 0.0) & (arr <= 10.0))
+
+
+def test_prior_cost_fn_sanitized_outside_support():
+    """The fused acquisition's -log prior cost must be finite-valued and
+    nan-free in gradient OUTSIDE the prior support (MA2's triangle): a
+    -inf log prior otherwise nans the Adam descent (the same failure
+    mode the NUTS leapfrog sanitization guards)."""
+    import jax
+    import jax.numpy as jnp
+
+    from elfi_tpu.methods.bolfire import _prior_cost_fn
+    from elfi_tpu.model.extensions import ModelPrior
+    from elfi_tpu.models import ma2
+
+    m = ma2.get_model(seed_obs=4)
+    cost = _prior_cost_fn(ModelPrior(m))
+    inside = jnp.asarray([0.6, 0.2], jnp.float32)
+    outside = jnp.asarray([-3.0, 0.0], jnp.float32)  # |t1| > 2: pdf = 0
+    c_in, g_in = jax.value_and_grad(cost)(inside)
+    c_out, g_out = jax.value_and_grad(cost)(outside)
+    assert np.isfinite(float(c_in)) and float(c_in) < 1e29
+    assert float(c_out) == float(np.float32(1e30))
+    assert np.all(np.isfinite(np.asarray(g_in)))
+    assert np.all(np.asarray(g_out) == 0.0)
+    # memoized per model revision: same model -> same traced callable
+    assert _prior_cost_fn(ModelPrior(m)) is cost

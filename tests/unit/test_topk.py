@@ -209,3 +209,29 @@ def test_merge_is_deterministic_under_duplicate_keys():
     out2, _ = merge_core(b1, batch, jnp.inf, "d")
     np.testing.assert_array_equal(np.asarray(out1["t"]),
                                   np.asarray(out2["t"]))
+
+
+def test_fused_unroll_heuristic():
+    """The merge-unroll auto-heuristic's measured operating points
+    (docs/measurements/2026-08-20_merge_unroll.md): u=16 at batch 2^17
+    (248 -> 319 M sims/s), u=8 at 2^18, and u=1 above 2^18 where the
+    threshold-culled merge already amortizes and unroll measurably hurts
+    the Pallas path (367 -> 330 M)."""
+    import numpy as np
+
+    from elfi_tpu.methods.samplers import FUSED_UNROLL, _fused_unroll
+
+    class _Shape:
+        def __init__(self, shape, itemsize=4):
+            self.shape = shape
+            self.dtype = type("dt", (), {"itemsize": itemsize})()
+
+    shapes = {"d": _Shape((1, )), "t1": _Shape((1, )), "t2": _Shape((1,))}
+    assert FUSED_UNROLL is None          # auto mode is the default
+    assert _fused_unroll(1 << 17, shapes) == 16
+    assert _fused_unroll(1 << 18, shapes) == 8
+    assert _fused_unroll(1 << 20, shapes) == 1
+    assert _fused_unroll(1 << 21, shapes) == 1
+    # wide per-sim outputs skip the unroll (HBM traffic for the concat)
+    wide = {"y": _Shape((1, 512))}
+    assert _fused_unroll(1 << 16, wide) == 1
